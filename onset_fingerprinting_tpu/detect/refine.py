@@ -1,0 +1,157 @@
+"""Onset refinement: CC-based lag alignment across channels.
+
+Host-side equivalents of the reference's onset consistency pass
+(reference: detection.py:271-484): given per-hit onset groups, align each
+channel's onset to the earliest channel via contribution-normalized
+cross-correlation (``ops.xcorr.cross_correlation_lag``) and energy-weighted
+onset adjustment.  Used in dataset mining; the CC itself can run on device
+via the batched jax variant.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy.ndimage import median_filter
+
+from onset_fingerprinting_tpu.ops.xcorr import cross_correlation_lag
+
+
+def adjust_onset_rel(
+    onsets: list[int], relx: np.ndarray, rely: np.ndarray, new_lag: int
+) -> tuple[int, int]:
+    """Move whichever onset of a pair gains more relative-envelope height at
+    the CC-suggested lag (detection.py:271-296). Returns the new onsets."""
+    oa, ob = onsets[0], onsets[1]
+    lag_diff = (ob - oa) - new_lag
+    da = relx[oa + lag_diff] - relx[oa]
+    db = rely[ob - lag_diff] - rely[ob]
+    if da > db:
+        oa += lag_diff
+    else:
+        ob -= lag_diff
+    return oa, ob
+
+
+def adjust_onset(
+    onsets: list[int], x: np.ndarray, y: np.ndarray, new_lag: int
+) -> tuple[int, int]:
+    """Decide which onset of a pair to move toward a CC-suggested lag using
+    exponentially-weighted signal energy between the old and new positions
+    (detection.py:299-352).
+
+    Returns *corrections* ``(ca, cb)`` to be added to the two onsets.
+    """
+    oa, ob = onsets[0], onsets[1]
+    lag_diff = (ob - oa) - new_lag
+    exp = np.exp(np.linspace(0, -np.e, abs(lag_diff)))
+    n = len(x)
+    if lag_diff < 0:
+        x_start, x_end = max(oa + lag_diff, 0), min(oa, n)
+        y_start, y_end = min(ob, n), min(ob - lag_diff, n)
+    else:
+        x_start, x_end = oa, min(oa + lag_diff, n)
+        y_start, y_end = max(ob - lag_diff, 0), min(ob, n)
+    da = np.sum(x[x_start:x_end] * exp[-(x_end - x_start):]) / x.max()
+    if y_end == y_start:
+        db = 0.0
+    else:
+        db = (
+            np.sum(y[y_start:y_end] * exp[-(y_end - y_start):][::-1]) / y.max()
+        )
+    if da > db:
+        if oa + lag_diff < 0:
+            return 0, -lag_diff
+        return lag_diff, 0
+    return 0, -lag_diff
+
+
+def filter_data(x: np.ndarray, direction: str) -> np.ndarray:
+    """Null samples moving against the expected transient direction
+    (detection.py:355-370)."""
+    diff = np.diff(x, 1, axis=0, prepend=x[:1])
+    if direction == "up":
+        x[diff < 0] = 0
+    elif direction == "down":
+        x[diff > 0] = 0
+    else:
+        raise ValueError(f"Unknown onset direction {direction!r}")
+    return x
+
+
+def fix_onsets(
+    audio: np.ndarray,
+    onsets: np.ndarray,
+    filter_size: int = 5,
+    d: int = 0,
+    onset_direction: Optional[str] = None,
+    take_abs: bool = False,
+    zero_left: bool = False,
+    normalization_cutoff: int = 10,
+    onset_tolerance: int = 30,
+    shift_onsets: int = 0,
+) -> np.ndarray:
+    """Make per-hit onsets consistent across channels (detection.py:373-451).
+
+    For each onset group: median-filter + optionally direction-null/abs a
+    window around the group, then CC-align every channel against the earliest
+    channel, moving whichever onset the energy heuristic prefers.
+    """
+    lookaround = normalization_cutoff + onset_tolerance
+    onsets = onsets.copy() + shift_onsets
+    for og in onsets:
+        idx = np.argsort(og)
+        a, b = og[idx[0]], og[idx[-1]]
+        section = audio[a - lookaround : b + lookaround]
+        section = np.diff(median_filter(section, filter_size, axes=0), d, axis=0)
+        if onset_direction == "up":
+            section[section < 0] = 0
+        elif onset_direction == "down":
+            section[section > 0] = 0
+        if take_abs:
+            section = np.abs(section)
+        local = og - (a - lookaround)
+
+        for i in idx[1:]:
+            pair = [local[idx[0]], local[i]]
+            x = section[:, idx[0]]
+            y = section[:, i]
+            if zero_left:
+                x[: pair[0]] = 0.0
+                y[: pair[1]] = 0.0
+            new_lag = cross_correlation_lag(
+                x,
+                y,
+                pair,
+                normalization_cutoff=normalization_cutoff,
+                onset_tolerance=onset_tolerance,
+            )
+            if new_lag is not None:
+                ca, cb = adjust_onset(pair, x, y, new_lag)
+                og[idx[0]] += ca
+                og[i] += cb
+                local[idx[0]] += ca
+                local[i] += cb
+    return onsets
+
+
+def detect_onset_region(
+    audio: np.ndarray,
+    detected_onset: int,
+    n: int = 256,
+    median_filter_size: int = 5,
+    threshold_factor: float = 0.5,
+) -> int:
+    """Find the start of the loud region around an onset
+    (detection.py:454-484)."""
+    from scipy.ndimage import binary_opening
+    from scipy.signal import medfilt
+
+    start_idx = max(detected_onset - n // 2, 0)
+    end_idx = min(detected_onset + n // 2, len(audio))
+    region = np.abs(audio[start_idx:end_idx])
+    filtered = medfilt(region, kernel_size=median_filter_size)
+    mask = filtered > threshold_factor * np.max(filtered)
+    mask = binary_opening(mask, structure=np.ones(5))
+    return start_idx + int(np.argmax(mask))

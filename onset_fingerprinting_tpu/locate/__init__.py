@@ -1,0 +1,25 @@
+from onset_fingerprinting_tpu.locate.geometry import (
+    attenuate_intensity,
+    lag_intensity_map,
+    lag_map_2d,
+    lag_map_3d,
+)
+from onset_fingerprinting_tpu.locate.trilateration import (
+    solve_trilateration,
+    solve_trilateration_3d,
+    trilaterate_batch,
+)
+from onset_fingerprinting_tpu.locate.multilaterate import (
+    Multilaterate,
+    Multilaterate3D,
+    MultilateratePaired,
+)
+from onset_fingerprinting_tpu.locate.calibration import (
+    calibrate,
+    calibration_locations,
+    optimize_C,
+    optimize_positions,
+    tdoa_calib_loss,
+    tdoa_calib_loss_with_sp,
+    train_location_model,
+)

@@ -1,0 +1,591 @@
+"""Online multilateration: streaming onset events → strike locations.
+
+Re-design of the reference's online locators (reference:
+multilateration.py:319-875).  Two layers:
+
+- Host classes :class:`Multilaterate3D` / :class:`Multilaterate` /
+  :class:`MultilateratePaired` mirroring the reference's event-at-a-time call
+  contract (candidate-group tracking, negative-lag swap repair, optional
+  CC-based onset refinement against a live ring buffer, legality via lag
+  maps, trilateration or learned-model fallback).  Lag-map legality checks
+  and trilateration run jitted on device.
+
+- A fixed-capacity, fully jittable locator core
+  (:class:`LocatorState`, :func:`locator_init`, :func:`locate_update`) for
+  the fused realtime engine: candidate groups live in padded arrays + masks
+  so the whole detect→locate path stays on-device in one program.  The
+  reference's dynamic ``ongoing`` Python list (multilateration.py:436-534)
+  becomes a masked slot table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import median_filter
+
+from onset_fingerprinting_tpu.core.coords import (
+    DIAMETER,
+    cartesian_to_polar,
+    polar_to_cartesian,
+    speed_of_sound,
+    spherical_to_cartesian,
+)
+from onset_fingerprinting_tpu.locate.geometry import lag_map_2d, lag_map_3d
+from onset_fingerprinting_tpu.locate.trilateration import (
+    solve_tdoa,
+    solve_trilateration,
+)
+from onset_fingerprinting_tpu.ops.xcorr import (
+    cross_correlation_lag,
+    find_lag,
+)
+from onset_fingerprinting_tpu.detect.refine import adjust_onset
+
+ONSET_TOL = 50
+NORM_CUTOFF = 10
+LOOKAROUND = ONSET_TOL + NORM_CUTOFF
+
+
+def remove_seed(groups, group):
+    """Drop competing candidate groups sharing the completed group's seed
+    (multilateration.py:160-167)."""
+    seed_sensor, seed_onset = group[0][0], group[1][0]
+    return [
+        g
+        for g in groups
+        if not (g[0][0] == seed_sensor and g[1][0] == seed_onset)
+    ]
+
+
+class _LagMapsMixin:
+    """Shared lag-map precompute + legality checks."""
+
+    def _build_maps(self, map_fn, drum_diameter, sr, c=None):
+        n = len(self.sensor_locs)
+        self.lag_maps = [dict() for _ in range(n)]
+        self.max_lags = [dict() for _ in range(n)]
+        self.min_lags = [dict() for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                lm = np.asarray(
+                    map_fn(
+                        self.sensor_locs[j],
+                        self.sensor_locs[i],
+                        d=drum_diameter,
+                        sr=sr,
+                        scale=1,
+                        medium=self.medium,
+                        tol=2,  # 2 cm slack around the drum edge
+                        c=c,
+                    )
+                )
+                # Slack for slightly-negative lags near the center when
+                # sensors are placed circularly (multilateration.py:386-387).
+                lm[lm < -self.samples_per_cm * 1] = np.nan
+                self.lag_maps[i][j] = lm
+                self.max_lags[i][j] = np.nanmax(lm)
+                self.min_lags[i][j] = np.nanmin(lm)
+        self.max_max_lags = [
+            np.nanmax(list(d.values())) for d in self.max_lags
+        ]
+
+    def is_legal(self, first_sensor: int, later_sensor: int, lag: float) -> bool:
+        """Pairwise lag-feasibility check (multilateration.py:397-411)."""
+        return (
+            self.min_lags[first_sensor][later_sensor]
+            < lag
+            < self.max_lags[first_sensor][later_sensor]
+        )
+
+    def is_legal_3d(self, group, tolerance: float = 1):
+        """Joint 2-lag feasibility; returns the (col-major) grid argmax where
+        both lags fit, (0, 0) when infeasible (multilateration.py:413-426)."""
+        tolerance *= self.samples_per_cm
+        sensors, onsets = group[0], group[1]
+        lag1 = onsets[1] - onsets[0]
+        lag2 = onsets[2] - onsets[0]
+        lm1 = self.lag_maps[sensors[0]][sensors[1]]
+        lm2 = self.lag_maps[sensors[0]][sensors[2]]
+        with np.errstate(invalid="ignore"):
+            legal = (lm1 < lag1 + tolerance) & (lm1 > lag1 - tolerance)
+            legal &= (lm2 < lag2 + tolerance) & (lm2 > lag2 - tolerance)
+        return tuple(np.unravel_index(np.argmax(legal > 0), legal.shape, "F"))
+
+
+class Multilaterate3D(_LagMapsMixin):
+    """Streaming 3D-sensor locator (multilateration.py:319-575).
+
+    Feed onset events one at a time via :meth:`locate`; when three mutually
+    feasible onsets accumulate, returns the trilaterated (x, y) — via the
+    Gauss-Newton solver or an injected learned model (lags → coordinates).
+    """
+
+    def __init__(
+        self,
+        sensor_locations,
+        drum_diameter: float = DIAMETER,
+        medium: str = "drumhead",
+        sr: int = 44100,
+        c: Optional[float] = None,
+        model=None,
+    ):
+        self.c = speed_of_sound(100, medium=medium) if c is None else c * 100
+        self.model = model
+        self.radius = drum_diameter / 2
+        self.sensor_locs = [
+            tuple(
+                float(v)
+                for v in spherical_to_cartesian(x[0] * self.radius, x[1], x[2])
+            )
+            for x in sensor_locations
+        ]
+        self.medium = medium
+        self.sr = sr
+        self.samples_per_cm = sr / self.c
+        self._build_maps(lag_map_3d, drum_diameter, sr, c=self.c)
+        self.ongoing: list = []
+
+    def locate(self, sensor_index: int, onset_index: int, rec_audio=None):
+        """Process one onset event; returns (x, y) when a hit completes,
+        else None.  ``rec_audio`` optionally enables CC onset refinement
+        against the live ring (multilateration.py:457-501)."""
+        new_groups = []
+        for group in self.ongoing:
+            lag = onset_index - group[1][0]
+            if lag > self.max_max_lags[group[0][0]]:
+                continue
+            if lag < 0:
+                # An adjustment moved an onset behind the next: swap seed.
+                inter = (group[0][0], group[1][0])
+                group[0][0] = sensor_index
+                group[1][0] = onset_index
+                sensor_index, onset_index = inter
+                lag = -lag
+            if sensor_index not in group[0]:
+                if rec_audio is not None:
+                    lag, onset_index = self._refine(
+                        group, sensor_index, onset_index, rec_audio, lag
+                    )
+                if self.is_legal(group[0][0], sensor_index, lag):
+                    group = (
+                        group[0] + [sensor_index],
+                        group[1] + [onset_index],
+                    )
+                    if len(group[0]) == 3:
+                        if group[0][0] == group[0][1]:
+                            break
+                        res = self.is_legal_3d(group)
+                        if res != (0, 0):
+                            guess = np.array(res) - self.radius
+                            res = self.trilaterate(group, initial_guess=guess)
+                            if res is not None:
+                                new_groups = remove_seed(new_groups, group)
+                            self.ongoing = new_groups
+                            return res
+                    new_groups.append(group)
+            if lag <= self.max_max_lags[group[0][0]]:
+                new_groups.append(group)
+        new_groups.append(([sensor_index], [onset_index]))
+        self.ongoing = new_groups
+        return None
+
+    def _refine(self, group, sensor_index, onset_index, rec_audio, lag):
+        """CC-refine the new onset against the group seed using live audio
+        (multilateration.py:457-501)."""
+        last_onset = group[1][0]
+        i = rec_audio.counter - last_onset + LOOKAROUND
+        section = np.asarray(rec_audio[-i - 1 :])[:, [group[0][0], sensor_index]]
+        section = np.diff(median_filter(section, 5, axes=0), axis=0)
+        section[section >= 0] = 0
+        section = np.abs(section)
+        section_og = np.array([last_onset, onset_index]) - (
+            last_onset - LOOKAROUND
+        )
+        new_lag = cross_correlation_lag(
+            section[:, 0],
+            section[:, 1],
+            onsets=(group[1][0], onset_index),
+            d=0,
+            onset_tolerance=ONSET_TOL,
+            normalization_cutoff=NORM_CUTOFF,
+        )
+        if new_lag is not None:
+            lag = new_lag
+            co, cn = adjust_onset(
+                section_og, section[:, 0], section[:, 1], lag
+            )
+            group[1][0] += co
+            onset_index += cn
+        return lag, onset_index
+
+    def trilaterate(self, group, initial_guess):
+        sensors, onsets = group[0], group[1]
+        if sensors[1] == 1:
+            sensors[1:] = [0, 1]
+            onsets[1:] = onsets[2:0:-1]
+        d_a1 = onsets[1] - onsets[0]
+        d_b1 = onsets[2] - onsets[0]
+        if self.model is not None:
+            # learned model maps lag pairs → meters; our scale is cm
+            return self.model.call_np((d_a1, d_b1)) * 100
+        triple = jnp.array(
+            [
+                self.sensor_locs[sensors[0]],
+                self.sensor_locs[sensors[1]],
+                self.sensor_locs[sensors[2]],
+            ],
+            dtype=jnp.float32,
+        )
+        deltas = jnp.array(
+            [d_a1 / self.sr * self.c, d_b1 / self.sr * self.c],
+            dtype=jnp.float32,
+        )
+        p, ok = solve_tdoa(
+            triple, deltas, jnp.asarray(initial_guess, dtype=jnp.float32)
+        )
+        return tuple(map(float, p)) if bool(ok) else None
+
+
+class Multilaterate(_LagMapsMixin):
+    """2D-sensor variant returning polar coordinates
+    (multilateration.py:578-733)."""
+
+    def __init__(
+        self,
+        sensor_locations,
+        drum_diameter: float = DIAMETER,
+        medium: str = "drumhead",
+        sr: int = 44100,
+    ):
+        self.radius = drum_diameter / 2
+        self.sensor_locs = [
+            tuple(
+                float(v) for v in polar_to_cartesian(x[0] * self.radius, x[1])
+            )
+            for x in sensor_locations
+        ]
+        self.medium = medium
+        self.sr = sr
+        self.samples_per_cm = sr / speed_of_sound(100, medium=medium)
+        self._build_maps(lag_map_2d, drum_diameter, sr)
+        self.ongoing: list = []
+
+    def locate(self, sensor_index: int, onset_index: int):
+        new_groups = []
+        for group in self.ongoing:
+            lag = onset_index - group[1][0]
+            if sensor_index not in group[0]:
+                if self.is_legal(group[0][0], sensor_index, lag):
+                    group = (
+                        group[0] + [sensor_index],
+                        group[1] + [onset_index],
+                    )
+                    if len(group[0]) == 3:
+                        res = self.is_legal_3d(group)
+                        if res != (0, 0):
+                            res = self.trilaterate(
+                                group, np.array(res) - self.radius
+                            )
+                            self.ongoing = new_groups
+                            return res
+                    new_groups.append(group)
+            if lag <= self.max_max_lags[group[0][0]]:
+                new_groups.append(group)
+        new_groups.append(([sensor_index], [onset_index]))
+        self.ongoing = new_groups
+        return None
+
+    def trilaterate(self, group, initial_guess):
+        sensors, onsets = group[0], group[1]
+        c = speed_of_sound(100, medium=self.medium)
+        d_a1 = (onsets[1] - onsets[0]) * c / self.sr
+        d_b1 = (onsets[2] - onsets[0]) * c / self.sr
+        res = solve_trilateration(
+            self.sensor_locs[sensors[1]],
+            self.sensor_locs[sensors[2]],
+            self.sensor_locs[sensors[0]],
+            d_a1,
+            d_b1,
+            initial_guess,
+        )
+        if res is None:
+            return None
+        r, phi = cartesian_to_polar(res[0], res[1], self.radius)
+        return float(r), float(phi)
+
+
+class MultilateratePaired:
+    """Neighbor-pair lag-map voting locator (multilateration.py:736-875).
+
+    Precomputes lag maps between adjacent sensors; at locate time, CC lags of
+    adjacent pairs vote on map cells and the argmax cell wins.
+    """
+
+    def __init__(
+        self,
+        sensor_locations,
+        drum_diameter: float = DIAMETER,
+        scale: float = 10,
+        medium: str = "drumhead",
+        sr: int = 44100,
+    ):
+        self.radius = int(np.round(drum_diameter * scale / 2, 1))
+        self.sensor_locs = [
+            tuple(
+                float(v) for v in polar_to_cartesian(x[0] * self.radius, x[1])
+            )
+            for x in sensor_locations
+        ]
+        self.scale = scale
+        self.medium = medium
+        self.sr = sr
+        self.lag_maps = [dict() for _ in range(len(self.sensor_locs))]
+        for i in range(len(self.sensor_locs)):
+            for k in (-1, 1):
+                j = (i + k) % len(self.sensor_locs)
+                self.lag_maps[i][j] = np.asarray(
+                    lag_map_2d(
+                        self.sensor_locs[i],
+                        self.sensor_locs[j],
+                        d=drum_diameter,
+                        sr=sr,
+                        scale=scale,
+                        medium="drumhead",
+                    )
+                )
+        self.res = np.zeros_like(self.lag_maps[0][1])
+
+    def locate(self, lags: list[int], i: int):
+        """Direct trilateration from neighbor-pair lags with an
+        intensity-weighted initial guess (multilateration.py:802-832)."""
+        js = [(i - 1) % len(self.sensor_locs), (i + 1) % len(self.sensor_locs)]
+        sensor_a = self.sensor_locs[js[0]]
+        sensor_b = self.sensor_locs[js[1]]
+        sensor_origin = self.sensor_locs[i]
+        c = speed_of_sound(100 * self.scale, medium=self.medium)
+        d_a1 = lags[0] * c / self.sr
+        d_b1 = lags[1] * c / self.sr
+        wa = abs(d_a1) / self.radius
+        wb = abs(d_b1) / self.radius
+        wo = abs(d_a1 + d_b1) / (2 * self.radius)
+        guess = np.array(
+            [
+                sensor_a[0] * wa + sensor_b[0] * wb + sensor_origin[0] * wo,
+                sensor_a[1] * wa + sensor_b[1] * wb + sensor_origin[1] * wo,
+            ]
+        )
+        res = solve_trilateration(
+            sensor_a, sensor_b, sensor_origin, d_a1, d_b1, guess
+        )
+        if res is None:
+            return None
+        r, phi = cartesian_to_polar(res[0], res[1], self.radius)
+        return float(r), float(phi)
+
+    def locate_cc(
+        self,
+        x: np.ndarray,
+        onset_idx: int,
+        i: int,
+        tol: int = 2,
+        left: int = 0,
+        right: int = 256,
+    ):
+        """Lag-map voting from CC lags of each adjacent pair
+        (multilateration.py:834-875)."""
+        self.res[:] = 0
+        for j in self.lag_maps[i]:
+            lag = find_lag(
+                x[onset_idx - left : onset_idx + right, i],
+                x[onset_idx - left : onset_idx + right, j],
+            )
+            with np.errstate(invalid="ignore"):
+                self.res += (self.lag_maps[i][j] < lag + tol) & (
+                    self.lag_maps[i][j] > lag - tol
+                )
+        coord = np.unravel_index(np.argmax(self.res), self.res.shape)
+        px = coord[1] - (self.res.shape[1] - 1) / 2
+        py = (self.res.shape[0] - 1) / 2 - coord[0]
+        r, phi = cartesian_to_polar(px, py, self.radius)
+        return float(r), float(phi)
+
+
+# ---------------------------------------------------------------------------
+# Jittable fixed-capacity locator core (for the fused realtime engine)
+# ---------------------------------------------------------------------------
+
+class LocatorState(NamedTuple):
+    """Padded candidate-group table: slot g holds up to 3 (sensor, onset)
+    members; ``count == 0`` marks a free slot."""
+
+    sensors: jnp.ndarray  # [G, 3] int32, -1 padded
+    onsets: jnp.ndarray   # [G, 3] int32
+    count: jnp.ndarray    # [G] int32
+    age: jnp.ndarray      # [G] int32 insertion order (for eviction)
+    next_age: jnp.ndarray  # scalar int32
+
+
+@dataclass(frozen=True)
+class LocatorConfig:
+    """Static data for the jitted locator (arrays are packed as device
+    constants via closure)."""
+
+    n_sensors: int
+    capacity: int = 8
+    tolerance_cm: float = 1.0
+
+
+def locator_init(capacity: int = 8) -> LocatorState:
+    g = capacity
+    return LocatorState(
+        sensors=jnp.full((g, 3), -1, dtype=jnp.int32),
+        onsets=jnp.zeros((g, 3), dtype=jnp.int32),
+        count=jnp.zeros((g,), dtype=jnp.int32),
+        age=jnp.zeros((g,), dtype=jnp.int32),
+        next_age=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def build_locator_tables(m: Multilaterate3D):
+    """Pack a host locator's lag maps into dense device arrays:
+    (lag_maps [S, S, H, W] nan-padded, min_lags, max_lags, max_max_lags,
+    sensor_xyz [S, 3])."""
+    s = len(m.sensor_locs)
+    h, w = next(iter(m.lag_maps[0].values())).shape
+    maps = np.full((s, s, h, w), np.nan, dtype=np.float32)
+    min_l = np.full((s, s), np.inf, dtype=np.float32)
+    max_l = np.full((s, s), -np.inf, dtype=np.float32)
+    for i in range(s):
+        for j, lm in m.lag_maps[i].items():
+            maps[i, j] = lm
+            min_l[i, j] = m.min_lags[i][j]
+            max_l[i, j] = m.max_lags[i][j]
+    mml = np.asarray(m.max_max_lags, dtype=np.float32)
+    xyz = np.asarray(m.sensor_locs, dtype=np.float32)
+    return (
+        jnp.asarray(maps),
+        jnp.asarray(min_l),
+        jnp.asarray(max_l),
+        jnp.asarray(mml),
+        jnp.asarray(xyz),
+    )
+
+
+def make_locate_update(m: Multilaterate3D, capacity: int = 8):
+    """Build a jitted ``(state, sensor, onset) -> (state, xy, valid)`` step.
+
+    Captures the locator's lag maps/sensor geometry as device constants.
+    Semantics follow Multilaterate3D.locate without CC refinement (the fused
+    engine refines onsets upstream): group join on pairwise legality, 3-way
+    completion via joint lag-map feasibility (argmax cell as the Newton
+    initial guess), trilateration on completion, seed dedup, slot eviction of
+    stale groups.
+    """
+    maps, min_l, max_l, mml, xyz = build_locator_tables(m)
+    radius = float(m.radius)
+    samples_per_cm = float(m.samples_per_cm)
+    tol = samples_per_cm * 1.0
+    c_over_sr = float(m.c / m.sr)
+    h, w = maps.shape[2:]
+
+    def update(state: LocatorState, sensor: jnp.ndarray, onset: jnp.ndarray):
+        sensor = sensor.astype(jnp.int32)
+        onset = onset.astype(jnp.int32)
+        lag = (onset - state.onsets[:, 0]).astype(jnp.float32)  # [G]
+        seed = state.sensors[:, 0]
+        seed_safe = jnp.maximum(seed, 0)
+        active = state.count > 0
+        alive = active & (lag <= mml[seed_safe])
+        member = jnp.any(
+            (state.sensors == sensor) & (jnp.arange(3) < state.count[:, None]),
+            axis=1,
+        )
+        legal_pair = (min_l[seed_safe, sensor] < lag) & (
+            lag < max_l[seed_safe, sensor]
+        )
+        joinable = alive & ~member & legal_pair & (state.count < 3)
+
+        completes = joinable & (state.count == 2)
+        any_complete = jnp.any(completes)
+        gidx = jnp.argmax(completes)  # first completing slot
+
+        # --- completion path (computed unconditionally, masked by validity)
+        s0 = seed_safe[gidx]
+        s1 = jnp.maximum(state.sensors[gidx, 1], 0)
+        o0 = state.onsets[gidx, 0]
+        o1 = state.onsets[gidx, 1]
+        lag1 = (o1 - o0).astype(jnp.float32)
+        lag2 = (onset - o0).astype(jnp.float32)
+        lm1 = maps[s0, s1]
+        lm2 = maps[s0, sensor]
+        legal_grid = (
+            (lm1 < lag1 + tol)
+            & (lm1 > lag1 - tol)
+            & (lm2 < lag2 + tol)
+            & (lm2 > lag2 - tol)
+        )
+        flat = jnp.argmax(legal_grid.T.reshape(-1))  # column-major argmax
+        cell = jnp.stack([flat % h, flat // h]).astype(jnp.float32)
+        grid_ok = jnp.any(legal_grid) & jnp.any(cell != 0)
+        guess = cell - radius
+        triple = jnp.stack([xyz[s0], xyz[s1], xyz[sensor]])
+        deltas = jnp.stack([lag1, lag2]) * c_over_sr
+        point, solved = solve_tdoa(triple, deltas, guess)
+        emit = any_complete & grid_ok & solved
+
+        # --- state update
+        join_now = joinable & (state.count < 3) & ~completes
+        slot_pos = jnp.clip(state.count, 0, 2)
+        new_sensors = jnp.where(
+            join_now[:, None]
+            & (jnp.arange(3)[None] == slot_pos[:, None]),
+            sensor,
+            state.sensors,
+        )
+        new_onsets = jnp.where(
+            join_now[:, None]
+            & (jnp.arange(3)[None] == slot_pos[:, None]),
+            onset,
+            state.onsets,
+        )
+        new_count = state.count + join_now.astype(jnp.int32)
+
+        # drop dead groups; on emit, drop the completed group and its
+        # seed-sharing competitors (remove_seed, multilateration.py:160-167)
+        same_seed = (
+            (state.sensors[:, 0] == state.sensors[gidx, 0])
+            & (state.onsets[:, 0] == state.onsets[gidx, 0])
+        )
+        keep = alive & ~(emit & same_seed)
+        new_count = jnp.where(keep, new_count, 0)
+
+        # insert the fresh single-member group into the stalest free slot
+        free = new_count == 0
+        evict_score = jnp.where(free, -state.age, jnp.iinfo(jnp.int32).max)
+        ins = jnp.argmin(evict_score)
+        new_sensors = new_sensors.at[ins].set(
+            jnp.array([1, 1, 1], jnp.int32) * -1
+        )
+        new_sensors = new_sensors.at[ins, 0].set(sensor)
+        new_onsets = new_onsets.at[ins, 0].set(onset)
+        new_count = new_count.at[ins].set(1)
+        new_age = state.age.at[ins].set(state.next_age)
+
+        new_state = LocatorState(
+            sensors=new_sensors,
+            onsets=new_onsets,
+            count=new_count,
+            age=new_age,
+            next_age=state.next_age + 1,
+        )
+        return new_state, point, emit
+
+    return jax.jit(update)

@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so the
+suite is hermetic and multi-chip sharding paths are exercised without TPUs.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS; pin the default device to host
+# CPU so the suite is hermetic (TPU execution is covered by bench.py).
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
