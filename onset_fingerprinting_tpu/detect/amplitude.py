@@ -437,7 +437,7 @@ def detect_onsets_amplitude(
             jnp.asarray(off_threshold, jnp.float32), (cfg.n_channels,)
         ),
     )
-    warm = (int(0.5 * sr) // block_size) * block_size
+    warm = (min(int(0.5 * sr), len(x)) // block_size) * block_size
     if warm:
         state = warmup_minmax(static, params, state, jnp.asarray(x[:warm]))
     t = (len(x) // block_size) * block_size

@@ -142,17 +142,23 @@ def fit_tnc(
     maxfun: int = 10000,
 ) -> sciopt.OptimizeResult:
     """Bounded TNC minimization with jax-provided value-and-grad — the
-    reference's optimizer (method='TNC', hand Jacobians) with autodiff."""
-    vag = jax.jit(jax.value_and_grad(lambda p: loss_fn(p, *args)))
+    reference's optimizer (method='TNC', hand Jacobians) with autodiff.
 
-    def f(p):
-        v, g = vag(jnp.asarray(p, jnp.float32))
-        return float(v), np.asarray(g, dtype=np.float64)
+    Runs in float64 (scoped ``jax.enable_x64``): quasi-Newton line searches
+    stall on fp32 gradient noise well before the reference's convergence
+    criteria (calibration.py:574,593-595 target 1e-9…1e-12 improvements).
+    """
+    with jax.enable_x64():
+        vag = jax.jit(jax.value_and_grad(lambda p: loss_fn(p, *args)))
 
-    return sciopt.minimize(
-        f, np.asarray(x0, np.float64), jac=True, method="TNC",
-        bounds=bounds, options={"maxfun": maxfun},
-    )
+        def f(p):
+            v, g = vag(jnp.asarray(p, jnp.float64))
+            return float(v), np.asarray(g, dtype=np.float64)
+
+        return sciopt.minimize(
+            f, np.asarray(x0, np.float64), jac=True, method="TNC",
+            bounds=bounds, options={"maxfun": maxfun},
+        )
 
 
 def optimize_C(
@@ -191,8 +197,8 @@ def optimize_C(
             (-radius, radius),
             (0, radius),
         ]
-    sound_positions = jnp.asarray(sound_positions, jnp.float32)
-    tdoa_j = jnp.asarray(tdoa, jnp.float32)
+    sound_positions = jnp.asarray(sound_positions)
+    tdoa_j = jnp.asarray(tdoa)
     res = fit_tnc(
         tdoa_calib_loss,
         np.asarray(initial_sensor_positions).flatten(),
@@ -238,7 +244,7 @@ def calibrate(
     (calibration.py:317-420): joint radius(+C)+positions TNC fit with bounds
     → outlier filter → refit.  Returns sensor positions [S, 3]."""
     radius = diameter / 2 / 100
-    tdoa = jnp.asarray(np.diff(onsets) / sr, jnp.float32)
+    tdoa = jnp.asarray(np.diff(onsets) / sr)
     initial_sensor_positions = np.array(
         [
             spherical_to_cartesian(*pos)

@@ -75,7 +75,7 @@ class _LagMapsMixin:
             for j in range(n):
                 if i == j:
                     continue
-                lm = np.asarray(
+                lm = np.array(
                     map_fn(
                         self.sensor_locs[j],
                         self.sensor_locs[i],
@@ -227,10 +227,12 @@ class Multilaterate3D(_LagMapsMixin):
         return lag, onset_index
 
     def trilaterate(self, group, initial_guess):
+        # NOTE: the reference reorders sensors when group[0][1] == 1
+        # (multilateration.py:542-544), which degenerates to a duplicated
+        # origin sensor for seeds other than its hard-coded setup (its own
+        # TODO acknowledges the baked-in order assumption).  We keep the
+        # group's natural (seed, a, b) order for all configurations.
         sensors, onsets = group[0], group[1]
-        if sensors[1] == 1:
-            sensors[1:] = [0, 1]
-            onsets[1:] = onsets[2:0:-1]
         d_a1 = onsets[1] - onsets[0]
         d_b1 = onsets[2] - onsets[0]
         if self.model is not None:

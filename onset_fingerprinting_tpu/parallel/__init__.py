@@ -1,0 +1,9 @@
+from onset_fingerprinting_tpu.parallel.mesh import (
+    default_mesh,
+    make_mesh,
+)
+from onset_fingerprinting_tpu.parallel.sharding import (
+    detect_offline_sharded,
+    detect_offline_time_sharded,
+    shard_batch,
+)

@@ -1,0 +1,136 @@
+"""Sharded offline processing: data-parallel and halo time-sharding.
+
+The reference's "long-sequence" technology is constant-memory host
+streaming (SURVEY.md §5.7: blockwise detectors detection.py:727-798, C ring
+buffers).  The TPU equivalents here:
+
+- :func:`detect_offline_sharded` — shard a *batch* of recordings over the
+  ``data`` mesh axis (fleet-scale mining: every device runs the fused
+  detector scan on its shard; no collectives needed until aggregation).
+- :func:`detect_offline_time_sharded` — shard ONE long recording over
+  devices *by time* with a warm-up halo: each device re-runs the detector
+  over ``halo`` samples of its left neighbor's segment before its own, then
+  discards the halo outputs.  The detector's carried state (IIR + AR
+  envelopes + EMA min/max) forgets exponentially, so a halo of a few slow-AR
+  time constants reproduces the sequential result away from segment heads —
+  the honest context-parallel analogue for streaming DSP.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from onset_fingerprinting_tpu.detect.amplitude import (
+    DetectorParams,
+    DetectorState,
+    detect_offline,
+)
+
+
+def shard_batch(mesh: Mesh, x: jnp.ndarray, axis: str = "data") -> jnp.ndarray:
+    """Place ``x`` sharded over its leading axis."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def detect_offline_sharded(
+    static,
+    params: DetectorParams,
+    state: DetectorState,
+    x: jnp.ndarray,
+    mesh: Mesh,
+):
+    """Run the fused offline detector over a sharded batch ``[S, T, C]``.
+
+    Each device scans its slice of the stream batch; results come back with
+    the same sharding.  ``state`` is a single-stream template — it is
+    broadcast to every stream.
+    """
+    s = x.shape[0]
+    batched_state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (s,) + a.shape), state
+    )
+    xs = shard_batch(mesh, x)
+
+    @partial(jax.jit, out_shardings=None)
+    def run(bstate, xb):
+        return jax.vmap(lambda st, xi: detect_offline(static, params, st, xi))(
+            bstate, xb
+        )
+
+    return run(batched_state, xs)
+
+
+def detect_offline_time_sharded(
+    static,
+    params: DetectorParams,
+    state: DetectorState,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    halo: Optional[int] = None,
+    axis: str = "data",
+):
+    """Detect over ONE long recording ``[T, C]`` sharded by time with a
+    warm-up halo.  Returns dense per-block (on, deltas) covering the full
+    recording (halo region outputs discarded per shard).
+
+    ``halo`` defaults to ~3 slow-envelope time constants (rounded up to the
+    block size) — enough for the detector's exponential state to forget the
+    segment boundary.
+    """
+    n_dev = mesh.shape[axis]
+    bsz = static.block_size
+    t, c = x.shape
+    if halo is None:
+        halo = int(3 * max(static.cooldown, 2205))
+    halo = ((halo + bsz - 1) // bsz) * bsz
+    seg = ((t // n_dev) // bsz) * bsz
+    t_used = seg * n_dev
+    x = x[:t_used]
+
+    # Build per-device segments with left halos (halo of segment 0 is zeros
+    # — it warms up from the initial state like the sequential run).
+    segs = []
+    for d in range(n_dev):
+        start = d * seg - halo
+        if start < 0:
+            pad = jnp.zeros((-start, c), x.dtype)
+            segs.append(jnp.concatenate([pad, x[: d * seg + seg]]))
+        else:
+            segs.append(x[start : d * seg + seg])
+    xs = jnp.stack(segs)  # [D, halo + seg, C]
+    xs = jax.device_put(xs, NamedSharding(mesh, P(axis)))
+    bstate = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_dev,) + a.shape), state
+    )
+
+    @jax.jit
+    def run(bs, xb):
+        _, (on, deltas, rel) = jax.vmap(
+            lambda st, xi: detect_offline(static, params, st, xi)
+        )(bs, xb)
+        skip = halo // bsz
+        return on[:, skip:], deltas[:, skip:], rel[:, halo:]
+
+    on, deltas, rel = run(bstate, xs)
+    # stitch shards back to the global timeline
+    on = on.reshape(-1, c)
+    deltas = deltas.reshape(-1, c)
+    rel = rel.reshape(-1, c)
+    return on, deltas, rel
+
+
+def events_from_dense(
+    on: np.ndarray, deltas: np.ndarray, block_size: int
+) -> tuple[list[int], list[int]]:
+    """Dense per-block (on, deltas) → (channels, absolute onset samples)."""
+    on = np.asarray(on)
+    deltas = np.asarray(deltas)
+    blocks, chans = np.nonzero(on)
+    onsets = blocks * block_size + deltas[blocks, chans]
+    return list(chans), list(onsets)

@@ -1,0 +1,309 @@
+"""Online analysis side-channel: STFT, onset strength, tempogram, quantize.
+
+Re-design of the reference's shared-memory analysis workers (reference:
+realtime/recording.py:121-604).  The reference spawns processes that
+spin-wait on shared counters and maintain per-hop STFT/onset-envelope/
+tempogram rings in shared memory; here the analysis is an ordinary stateful
+host object whose per-hop math is jitted jnp — no IPC layer, because the
+single-program TPU design makes the audio ring and analysis state local
+(SURVEY.md §5.8).  The previously *undefined* picker constants
+(MAX_OFFSET/AVG_LENGTH/DELTA/WAIT/ONSET_DET_OFFSET; recording.py:304-310,
+407-423) come from :class:`core.config.RealtimeConfig`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import optimize as sciopt
+from scipy.spatial import distance_matrix
+
+from onset_fingerprinting_tpu.core.config import RealtimeConfig
+from onset_fingerprinting_tpu.core.ring_buffer import CircularArray
+
+
+def closest_distance(onsets: np.ndarray, grid: np.ndarray) -> float:
+    """Mean distance of each grid point to its two closest onsets
+    (recording.py:25-33)."""
+    dm = distance_matrix(onsets[:, None], grid[:, None])
+    return float(np.mean(np.sort(dm, axis=0)[:2, :].round()))
+
+
+def find_offset(
+    onsets: np.ndarray, bpm: float, sr: int = 48000, x0: float = 0.0, **kwargs
+) -> int:
+    """Offset aligning onsets to a BPM grid (recording.py:36-62)."""
+    if len(onsets) == 0:
+        return 0
+    beat_len = sr // (bpm / 60)
+    n = np.ceil(onsets[-1] / beat_len)
+    grid = np.arange(0, n * beat_len, beat_len)
+    res = sciopt.minimize(
+        lambda off: closest_distance(onsets + off, grid), x0=x0, **kwargs
+    )
+    return int(res.x)
+
+
+def tempo_frequencies(n_bins: int, hop_length: int, sr: int) -> np.ndarray:
+    """BPM value of each tempogram bin (librosa convention; bin 0 → inf)."""
+    bins = np.arange(n_bins, dtype=np.float64)
+    bins[0] = 1e-16
+    return 60.0 * sr / (hop_length * bins)
+
+
+def detect_onsets_online(
+    onset_env: np.ndarray,
+    mov_max: np.ndarray,
+    mov_avg: np.ndarray,
+    delta: float,
+    wait: int,
+) -> np.ndarray:
+    """Greedy streaming peak picker over precomputed moving max/avg rings —
+    librosa onset_detect's online counterpart (recording.py:397-428)."""
+    detections = onset_env * (onset_env == mov_max)
+    detections = detections * (detections >= mov_avg + delta)
+    peaks = []
+    last = -np.inf
+    for i in np.nonzero(detections)[0]:
+        if i > last + wait:
+            peaks.append(i)
+            last = i
+    return np.asarray(peaks, dtype=np.int64)
+
+
+def quantize_onsets(
+    onsets: np.ndarray,
+    offset: int,
+    onset_envelope: np.ndarray,
+    hop_length: int,
+    sr: int,
+    lenience: Optional[int] = None,
+    strength_weight: float = 0.5,
+    window_size: int = 5,
+) -> tuple[int, int]:
+    """Snap a recording marker to a nearby strong onset, weighting distance
+    against onset strength (recording.py:430-493)."""
+    if lenience is None:
+        lenience = round(sr * 0.1)
+    if len(onsets) == 0:
+        return 0, 0
+    offset_f = offset // hop_length
+    strengths = []
+    for onset in onsets // hop_length:
+        start = max(0, offset_f + onset - window_size)
+        end = min(len(onset_envelope), offset_f + onset + window_size)
+        strengths.append(np.max(onset_envelope[start:end]))
+    strengths = np.asarray(strengths)
+    distances = np.abs(onsets)
+    weighted = distances ** (1 - strength_weight) * (
+        1 - strengths
+    ) ** strength_weight
+    i = int(np.argmin(weighted))
+    move = int(onsets[i]) if distances[i] < lenience else 0
+    return move, move
+
+
+def tempo(
+    tg: np.ndarray, tf: np.ndarray, bpm_logprior: np.ndarray, agg=np.mean
+) -> np.ndarray:
+    """BPM estimate from a tempogram slice with a log-normal prior around
+    100 BPM (recording.py:571-589, librosa.feature.rhythm lineage)."""
+    if agg is not None:
+        tg = agg(tg, axis=-1, keepdims=True)
+    best_period = np.argmax(np.log1p(1e6 * tg) + bpm_logprior, axis=-2)
+    return np.take(tf, best_period)
+
+
+class _EMAMinMax:
+    """Scalar EMA min/max normalizer (loopmate EMA_MinMaxTracker rebuild)."""
+
+    def __init__(self, min0=0.0, max0=1.0, minmin=0.0, alpha=0.001):
+        self.min_val = float(min0)
+        self.max_val = float(max0)
+        self.minmin = float(minmin)
+        self.alpha = float(alpha)
+
+    def add(self, x: float) -> None:
+        if x < self.minmin:
+            self.min_val = self.minmin
+        elif x < self.min_val:
+            self.min_val = x
+        else:
+            self.min_val += self.alpha * (x - self.min_val)
+        if x > self.max_val:
+            self.max_val = x
+        else:
+            self.max_val += self.alpha * (x - self.max_val)
+
+    def normalize(self, x: float) -> float:
+        rng = self.max_val - self.min_val
+        return (x - self.min_val) / rng if rng > 0 else 0.0
+
+
+@jax.jit
+def _stft_hop(window: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarray:
+    return jnp.fft.rfft(window * frame)
+
+
+@jax.jit
+def _onset_strength_hop(mag: jnp.ndarray, magm1: jnp.ndarray, ref_max):
+    s = 10.0 * jnp.log10(jnp.maximum(1e-10, mag))
+    s = jnp.maximum(s, ref_max - 80)
+    sm1 = 10.0 * jnp.log10(jnp.maximum(1e-10, magm1))
+    sm1 = jnp.maximum(sm1, ref_max - 80)
+    return jnp.maximum(0.0, s - sm1).mean(), s.max()
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def _tempogram_hop(window: jnp.ndarray, env: jnp.ndarray, pad: int):
+    f = jnp.fft.rfft(window * env, n=pad)
+    tg = jnp.fft.irfft(jnp.abs(f) ** 2, n=pad)[: env.shape[0]]
+    return tg / (tg.max() + 1e-10)
+
+
+class OnlineAnalysis:
+    """Incremental per-hop analysis over a live audio ring
+    (recording.py:161-347 RecAnalysis + 349-604 AnalysisOnDemand, merged).
+
+    Call :meth:`hop` once per hop_length new samples; query BPM, onsets,
+    quantized markers at any time.
+    """
+
+    def __init__(self, cfg: RealtimeConfig, audio_ring: CircularArray):
+        self.cfg = cfg
+        self.audio = audio_ring
+        self.n_stft = cfg.n_stft
+        self.window = jnp.asarray(np.hanning(cfg.n_fft + 1)[:-1], jnp.float32)
+        self.tg_window = jnp.asarray(
+            np.hanning(cfg.tg_win_length + 1)[:-1], jnp.float32
+        )
+        bins = 1 + cfg.n_fft // 2
+        self.stft = CircularArray(
+            np.zeros((self.n_stft, bins), dtype=np.complex64)
+        )
+        self.onset_env = CircularArray(
+            np.zeros(self.n_stft, dtype=np.float32)
+        )
+        self.mov_max = np.zeros(self.n_stft, dtype=np.float32)
+        self.mov_avg = np.zeros(self.n_stft, dtype=np.float32)
+        self.tg = CircularArray(
+            np.zeros((self.n_stft, cfg.tg_win_length), dtype=np.float32)
+        )
+        self.onset_env_minmax = _EMAMinMax(0, 1, 0, alpha=0.001)
+        self.logspec_minmax = _EMAMinMax(0, 10, 0, alpha=0.0005)
+        self.tf = tempo_frequencies(cfg.tg_win_length, cfg.hop_length, cfg.sr)
+        self.bpm_logprior = (
+            -0.5 * ((np.log2(self.tf) - np.log2(100)) / 1.0) ** 2
+        )[:, None]
+        self.recording_start = 0
+        self.recording_end = 0
+
+    # -- per-hop updates ------------------------------------------------------
+
+    def hop(self) -> None:
+        """Compute one STFT frame + onset strength + tempogram frame from the
+        most recent audio (recording.py:273-327)."""
+        frame = jnp.asarray(
+            np.asarray(self.audio[-self.cfg.n_fft :]).mean(-1), jnp.float32
+        )
+        spec = np.asarray(_stft_hop(self.window, frame))
+        self.stft.write(spec[None])
+        self._onset_strength()
+        self._tempogram()
+
+    def _onset_strength(self) -> None:
+        mag = np.abs(self.stft[-1]) ** 2
+        magm1 = np.abs(self.stft[-2]) ** 2
+        env, smax = _onset_strength_hop(
+            jnp.asarray(mag), jnp.asarray(magm1),
+            jnp.float32(self.logspec_minmax.max_val),
+        )
+        self.logspec_minmax.add(float(smax))
+        env = float(env)
+        self.onset_env_minmax.add(env)
+        self.onset_env.write(
+            np.asarray([self.onset_env_minmax.normalize(env)], np.float32)
+        )
+        cfg = self.cfg
+        cur_max = self.onset_env.index_offset(-cfg.max_offset - 1)
+        self.mov_max[cur_max] = np.max(self.onset_env[-cfg.max_length :])
+        cur_avg = self.onset_env.index_offset(-cfg.avg_offset - 1)
+        self.mov_avg[cur_avg] = np.mean(self.onset_env[-cfg.avg_length :])
+
+    def _tempogram(self) -> None:
+        env = jnp.asarray(
+            self.onset_env[-self.cfg.tg_win_length :], jnp.float32
+        )
+        tg = np.asarray(_tempogram_hop(self.tg_window, env, self.cfg.tg_pad))
+        self.tg.write(tg[None])
+
+    # -- on-demand queries (AnalysisOnDemand equivalents) ---------------------
+
+    def detect_onsets(self, start: int) -> tuple[np.ndarray, np.ndarray]:
+        """Onsets since relative frame ``start`` (negative)
+        (recording.py:397-428)."""
+        o = -self.cfg.onset_det_offset
+        from onset_fingerprinting_tpu.core.ring_buffer import query_circular
+
+        onset_env = self.onset_env[start:o]
+        wc = self.onset_env.write_counter
+        mov_max = query_circular(self.mov_max, slice(start, o), wc)
+        mov_avg = query_circular(self.mov_avg, slice(start, o), wc)
+        peaks = detect_onsets_online(
+            onset_env, mov_max, mov_avg, self.cfg.delta, self.cfg.wait
+        )
+        return peaks, onset_env
+
+    def bpm(self, start: int, end: int = 0) -> float:
+        """BPM estimate over tempogram frames [start:end] (relative)."""
+        tg = self.tg[start : end if end != 0 else None].T
+        return float(tempo(tg, self.tf, self.bpm_logprior)[0])
+
+    def quantize_start(self, lookaround_samples: Optional[int] = None) -> int:
+        """Snap recording_start to a nearby strong onset
+        (recording.py:495-529). Returns the applied move in samples."""
+        cfg = self.cfg
+        if lookaround_samples is None:
+            lookaround_samples = int(0.25 * cfg.sr)
+        ref = self.audio.elements_since(self.recording_start)
+        start = ref + lookaround_samples
+        start_frames = -(start // cfg.hop_length)
+        onsets, onset_env = self.detect_onsets(start_frames)
+        onsets = (
+            onsets - lookaround_samples // cfg.hop_length
+        ) * cfg.hop_length
+        _, move = quantize_onsets(
+            onsets, lookaround_samples, onset_env, cfg.hop_length, cfg.sr
+        )
+        self.recording_start += move
+        return move
+
+    def quantize_end(self) -> int:
+        """Extrapolate recording_end to a whole number of beats from the BPM
+        estimate (recording.py:531-569). Returns the new end counter."""
+        cfg = self.cfg
+        ref_start = self.audio.elements_since(self.recording_start)
+        start_frame = -(ref_start // cfg.hop_length)
+        n = self.recording_end - self.recording_start
+        end_frame = min(start_frame + n // cfg.hop_length, 0)
+        onsets, _ = self.detect_onsets(start_frame)
+        bpm = self.bpm(start_frame, end_frame)
+        beat_len = int(cfg.sr / (bpm / 60))
+        offset = find_offset(
+            onsets * cfg.hop_length, bpm, cfg.sr, method="Powell"
+        )
+        if abs(offset) > 512 and beat_len / 2 - abs(offset) < 0.1 * cfg.sr:
+            offset = offset - np.sign(offset) * beat_len / 2
+        n_beats = round(n / beat_len)
+        self.recording_end = self.recording_start + n_beats * beat_len
+        return self.recording_end
+
+    def save_audio(self, path) -> None:
+        """Dump the current audio ring to a wav (recording.py:597-604)."""
+        from onset_fingerprinting_tpu.core.audio_io import write_wav
+
+        write_wav(path, self.audio[-self.audio.N :], self.cfg.sr)

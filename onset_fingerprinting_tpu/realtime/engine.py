@@ -1,0 +1,244 @@
+"""Fused realtime engine: one jitted program per audio block.
+
+Replaces the reference's Python-per-event serve loop (reference:
+realtime/audio.py:62-122: detector call → per-onset ``Multilaterate3D.locate``
+→ fsolve/torch inference, all in the 1.33 ms PortAudio callback budget) with
+ONE device program per block:
+
+    (EngineState, block [B, C]) -> (EngineState, BlockEvents)
+
+containing the fused detector scan, the fixed-capacity jittable locator
+update for every fired channel (in onset order), and trilateration — so the
+host shim only moves a raw audio block in and a small event struct out.
+Dispatch latency dominates the budget; everything else stays in HBM/VMEM.
+
+The host wrapper :class:`RealtimeEngine` mirrors PlayRec's responsibilities:
+ring-buffer recording, event→Location conversion, Actions and FX chain
+application, wall-time↔sample-counter mapping (audio.py:135-146), and an
+optional sounddevice stream when PortAudio is present (gated import).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onset_fingerprinting_tpu.core.config import DetectorConfig
+from onset_fingerprinting_tpu.core.ring_buffer import (
+    CircularArray,
+    RingBuffer,
+    ring_init,
+    ring_write,
+)
+from onset_fingerprinting_tpu.detect.amplitude import (
+    DetectorParams,
+    DetectorState,
+    detect_block,
+    detector_init,
+)
+from onset_fingerprinting_tpu.locate.multilaterate import (
+    LocatorState,
+    Multilaterate3D,
+    locator_init,
+    make_locate_update,
+)
+from onset_fingerprinting_tpu.realtime.actions import Actions, Location
+
+
+class EngineState(NamedTuple):
+    detector: DetectorState
+    locator: LocatorState
+    ring: RingBuffer
+    sample_count: jnp.ndarray  # int32 absolute sample counter
+
+
+class BlockEvents(NamedTuple):
+    """Fixed-capacity per-block outputs (at most one onset and one completed
+    hit per channel per block by construction)."""
+
+    on: jnp.ndarray       # [C] bool — channel fired this block
+    onsets: jnp.ndarray   # [C] int32 absolute onset sample (valid where on)
+    points: jnp.ndarray   # [C, 2] float32 located hits (valid where emits)
+    emits: jnp.ndarray    # [C] bool — a hit completed at this event
+
+
+def make_engine_step(
+    cfg: DetectorConfig,
+    locator: Multilaterate3D,
+    ring_seconds: float = 2.0,
+    capacity: int = 8,
+):
+    """Build (initial EngineState, jitted step fn).
+
+    The locator's lag maps and geometry are baked in as device constants.
+    """
+    static, params, dstate = detector_init(cfg)
+    locate_update = make_locate_update(locator, capacity=capacity)
+    c = cfg.n_channels
+    ring = ring_init(
+        int(ring_seconds * cfg.sr), (c,), dtype=jnp.float32
+    )
+    state0 = EngineState(
+        detector=dstate,
+        locator=locator_init(capacity),
+        ring=ring,
+        sample_count=jnp.zeros((), jnp.int32),
+    )
+
+    big = jnp.int32(10**9)
+
+    @jax.jit
+    def step(
+        state: EngineState, block: jnp.ndarray, params_: DetectorParams
+    ) -> tuple[EngineState, BlockEvents]:
+        dstate, (on, deltas, rel) = detect_block(
+            static, params_, state.detector, block
+        )
+        ring = ring_write(state.ring, block)
+        onsets_abs = state.sample_count + deltas
+
+        # feed fired channels to the locator in onset order
+        order = jnp.argsort(jnp.where(on, deltas, big))
+        points0 = jnp.zeros((c, 2), jnp.float32)
+        emits0 = jnp.zeros((c,), bool)
+
+        def body(i, carry):
+            lstate, points, emits = carry
+            ch = order[i]
+            valid = on[ch]
+            new_lstate, point, emit = locate_update(
+                lstate, ch, onsets_abs[ch]
+            )
+            lstate = jax.tree.map(
+                lambda new, old: jnp.where(valid, new, old),
+                new_lstate,
+                lstate,
+            )
+            points = points.at[ch].set(jnp.where(valid & emit, point, 0.0))
+            emits = emits.at[ch].set(valid & emit)
+            return lstate, points, emits
+
+        lstate, points, emits = jax.lax.fori_loop(
+            0, c, body, (state.locator, points0, emits0)
+        )
+        new_state = EngineState(
+            detector=dstate,
+            locator=lstate,
+            ring=ring,
+            sample_count=state.sample_count + block.shape[0],
+        )
+        return new_state, BlockEvents(on, onsets_abs, points, emits)
+
+    return state0, params, step
+
+
+class RealtimeEngine:
+    """Host shim around the fused per-block device program.
+
+    Usage (pull model, like the PortAudio callback):
+
+        eng = RealtimeEngine(cfg, locator, actions=Actions(), fx=[...])
+        out = eng.process(block)   # every block_size samples
+
+    Events are returned as :class:`Location` objects (cm, drum-centric) and
+    also dispatched to the actions scheduler + FX chain in place, mirroring
+    the reference callback (audio.py:81-121).
+    """
+
+    def __init__(
+        self,
+        cfg: DetectorConfig,
+        locator: Multilaterate3D,
+        actions: Optional[Actions] = None,
+        fx: list = (),
+        ring_seconds: float = 2.0,
+        monitor_channels: int = 2,
+        host_ring: Optional[CircularArray] = None,
+    ):
+        self.cfg = cfg
+        self.locator = locator
+        self.actions = actions or Actions()
+        self.fx = list(fx)
+        self.monitor_channels = monitor_channels
+        self.state, self.params, self._step = make_engine_step(
+            cfg, locator, ring_seconds
+        )
+        self.host_ring = host_ring
+        self.current_index = 0
+        self.callback_time: Optional[tuple[float, int]] = None
+
+    def warmup(self, audio: np.ndarray) -> None:
+        """Prime detector envelopes/thresholds on calibration audio."""
+        from onset_fingerprinting_tpu.detect.amplitude import warmup_minmax
+
+        static, _, _ = detector_init(self.cfg)
+        t = (len(audio) // self.cfg.block_size) * self.cfg.block_size
+        if t:
+            det = warmup_minmax(
+                static, self.params, self.state.detector,
+                jnp.asarray(audio[:t]),
+            )
+            self.state = self.state._replace(detector=det)
+
+    def process(self, block: np.ndarray) -> tuple[np.ndarray, list[Location]]:
+        """Process one [B, C] block; returns (output audio, located hits)."""
+        self.callback_time = (time.monotonic(), self.current_index)
+        if self.host_ring is not None:
+            self.host_ring.write(block)
+        self.state, events = self._step(
+            self.state, jnp.asarray(block, jnp.float32), self.params
+        )
+        emits = np.asarray(events.emits)
+        locations: list[Location] = []
+        if emits.any():
+            pts = np.asarray(events.points)
+            for ch in np.nonzero(emits)[0]:
+                locations.append(
+                    Location(
+                        x=float(pts[ch, 0]),
+                        y=float(pts[ch, 1]),
+                        radius=self.locator.radius,
+                    )
+                )
+        out = np.asarray(block[:, : self.monitor_channels], dtype=np.float32)
+        out = out * 2.0  # passthrough monitor mix (audio.py:109)
+        for loc in locations:
+            self.actions.run(out, loc)
+        for fx in self.fx:
+            out = fx(out, self.cfg.sr, len(out), reset=False)
+        self.current_index += len(block)
+        return out, locations
+
+    def event_counter(self) -> tuple[int, int]:
+        """(absolute sample counter, samples since block start) for 'now' —
+        the wall-time → buffer-index mapping (audio.py:135-146)."""
+        t0, idx = self.callback_time
+        since = round((time.monotonic() - t0) * self.cfg.sr)
+        return idx + since, since
+
+    # -- optional PortAudio stream (host audio I/O not available on TPU pods)
+    def stream(self, device=None, latency: float = 0.001):
+        try:
+            import sounddevice as sd
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "sounddevice/PortAudio not available in this environment"
+            ) from e
+
+        def callback(indata, outdata, frames, tinfo, status):
+            out, _ = self.process(indata.copy())
+            outdata[:] = out[:, : outdata.shape[1]]
+
+        return sd.Stream(
+            samplerate=self.cfg.sr,
+            device=device,
+            channels=(self.cfg.n_channels, self.monitor_channels),
+            callback=callback,
+            latency=latency,
+            blocksize=self.cfg.block_size,
+        )

@@ -1,0 +1,80 @@
+"""Serve-setup persistence: sensor geometry + location model checkpointing.
+
+Equivalent of the reference's ``save_setup``/``load_setup``
+(reference: realtime/config.py:63-108), which persist sensor locations,
+medium, speed of sound and FCNN weights as JSON + ``torch.save``.  Here the
+model side uses orbax checkpoints of the flax FCNN variables (SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
+
+
+def save_setup(
+    sensor_locations,
+    medium: str,
+    c: Optional[float],
+    model: Optional[FCNNBundle],
+    model_args: Optional[dict],
+    path: str | Path,
+    json_name: str = "ml_conf.json",
+) -> None:
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    if isinstance(sensor_locations, np.ndarray):
+        sensor_locations = sensor_locations.tolist()
+    conf = {
+        "sensor_locations": sensor_locations,
+        "medium": medium,
+        "c": c,
+        "model_args": model_args,
+    }
+    (path / json_name).write_text(json.dumps(conf, indent=2))
+    if model is not None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            (path / "model_ckpt").resolve(),
+            jax.tree.map(np.asarray, model.variables),
+            force=True,
+        )
+        ckptr.wait_until_finished()
+
+
+def load_setup(
+    path: str | Path, json_name: str = "ml_conf.json", c: Optional[float] = None
+):
+    """Returns (conf dict, FCNNBundle or None)."""
+    path = Path(path)
+    conf = json.loads((path / json_name).read_text())
+    conf["sensor_locations"] = np.asarray(conf["sensor_locations"])
+    if c is not None:
+        conf["c"] = c
+    model = None
+    if conf.get("model_args") and (path / "model_ckpt").exists():
+        import orbax.checkpoint as ocp
+
+        import jax.numpy as jnp
+
+        args = dict(conf["model_args"])
+        input_size = args.pop(
+            "input_size", len(conf["sensor_locations"]) - 1
+        )
+        fcnn = FCNN(**args)
+        dummy = jnp.zeros((1, input_size), jnp.float32)
+        target = fcnn.init(jax.random.PRNGKey(0), dummy, train=False)
+        ckptr = ocp.StandardCheckpointer()
+        variables = ckptr.restore(
+            (path / "model_ckpt").resolve(), target=jax.tree.map(np.asarray, target)
+        )
+        model = FCNNBundle(fcnn, variables)
+    return conf, model

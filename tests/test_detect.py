@@ -1,0 +1,337 @@
+"""Detector tests: numpy golden model (the c/test.py pattern), block-vs-
+offline consistency, synthetic end-to-end detection, grouping, refinement."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import signal as sig
+
+from onset_fingerprinting_tpu.core.config import DetectorConfig
+from onset_fingerprinting_tpu.detect import (
+    AmplitudeOnsetDetector,
+    detect_block,
+    detect_offline,
+    detect_onsets_amplitude,
+    detect_onsets_spectral,
+    detector_init,
+    find_onset_groups,
+    fix_onsets,
+    detect_onset_region,
+)
+from onset_fingerprinting_tpu.detect.refine import adjust_onset, filter_data
+
+
+# ---------------------------------------------------------------------------
+# numpy golden model: an independent sequential implementation of the
+# detector semantics (hp → dB → fast/slow AR → rel → minmax → hysteresis)
+# ---------------------------------------------------------------------------
+
+class GoldenDetector:
+    def __init__(self, cfg: DetectorConfig):
+        self.cfg = cfg
+        c = cfg.n_channels
+        if cfg.hipass_freq:
+            self.b, self.a = sig.butter(
+                4, cfg.hipass_freq, btype="high", fs=cfg.sr
+            )
+            self.b, self.a = np.float32(self.b), np.float32(self.a)
+            self.zi = np.zeros((4, c), dtype=np.float32)
+        else:
+            self.b = None
+        self.fast = np.full(c, cfg.floor, np.float32)
+        self.slow = np.full(c, cfg.floor, np.float32)
+        self.fa = np.float32(1 / cfg.fast_attack)
+        self.fr = np.float32(1 / cfg.fast_release)
+        self.sa = np.float32(1 / cfg.slow_attack)
+        self.sr_ = np.float32(1 / cfg.slow_release)
+        self.mn = np.zeros(c, np.float32)
+        self.mx = np.full(c, 10.0, np.float32)
+        self.gate = np.zeros(c, bool)
+        self.prev = np.zeros(c, np.float32)
+        self.debounce = np.zeros(c, np.int64)
+
+    def _env(self, x):
+        if self.b is not None:
+            x, self.zi = sig.lfilter(self.b, self.a, x, axis=0, zi=self.zi)
+        x = 20 * np.log10(np.abs(x.astype(np.float32) + np.float32(1e-10)))
+        x = np.maximum(x, self.cfg.floor).astype(np.float32)
+        rel = np.empty_like(x)
+        for t in range(len(x)):
+            df = x[t] - self.fast + np.float32(1e-10)
+            self.fast = self.fast + np.where(df > 0, self.fa, self.fr) * df
+            ds = x[t] - self.slow + np.float32(1e-10)
+            self.slow = self.slow + np.where(ds > 0, self.sa, self.sr_) * ds
+            rel[t] = self.fast - self.slow
+        rel = (10 ** (rel / 20) - np.float32(1e-10)).clip(
+            0, -self.cfg.floor
+        ).astype(np.float32)
+        return rel
+
+    def __call__(self, x):
+        cfg = self.cfg
+        rel = self._env(x)
+        for t in range(len(rel)):
+            r = rel[t]
+            self.mn = np.where(
+                r < cfg.minmax_floor,
+                np.float32(cfg.minmax_floor),
+                np.where(
+                    r < self.mn,
+                    r,
+                    self.mn * (1 - np.float32(cfg.minmax_alpha_min))
+                    + r * np.float32(cfg.minmax_alpha_min),
+                ),
+            )
+            self.mx = np.where(
+                r > self.mx,
+                r,
+                self.mx * (1 - np.float32(cfg.minmax_alpha_max))
+                + r * np.float32(cfg.minmax_alpha_max),
+            )
+        on_th = self.mx * cfg.on_threshold + self.mn
+        crossed = (rel > on_th) & ~self.gate & (self.debounce < 1)
+        prev_full = np.concatenate([self.prev[None], rel[:-1]])
+        crossed &= prev_full < on_th
+        on_idx = np.argmax(crossed, axis=0)
+        on = (on_idx > 0) | crossed[0]
+        self.gate |= on
+        self.debounce[on] = cfg.cooldown
+        self.debounce[self.debounce > 0] -= cfg.block_size
+        off_th = self.mx * cfg.off_threshold + self.mn
+        crossed_off = rel < off_th
+        crossed_off[: on_idx.max()] = False
+        self.gate[np.any(crossed_off, axis=0)] = False
+        self.prev = rel[-1]
+        return on, on_idx, rel
+
+
+def synth_hits(n=96000 * 2, c=3, sr=96000, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1e-4, (n, c)).astype(np.float32)
+    hits = []
+    t = np.arange(600)
+    for base in range(sr // 2, n - 2000, sr // 3):
+        ch_delays = rng.integers(0, 40, c)
+        for ch in range(c):
+            burst = np.sin(2 * np.pi * 5000 / sr * t) * np.exp(-t / 120) * 0.5
+            s = base + ch_delays[ch]
+            x[s : s + 600, ch] += burst.astype(np.float32)
+        hits.append(base)
+    return x, hits
+
+
+class TestAmplitudeDetector:
+    def test_matches_golden_model(self):
+        """Jitted fused detector vs independent numpy sequential model.
+
+        hipass disabled here: the 4th-order IIR recursion accumulates
+        backend-dependent fp32 FMA differences (IIR itself is golden-tested
+        in test_ops); without it, the fused path must match the sequential
+        model exactly in detections.
+        """
+        cfg = DetectorConfig(
+            n_channels=3, block_size=128, hipass_freq=0.0, sr=96000
+        )
+        x, _ = synth_hits(96000, 3)
+        static, params, state = detector_init(cfg)
+        golden = GoldenDetector(cfg)
+        t = (len(x) // 128) * 128
+        _, (on, deltas, rel) = detect_offline(
+            static, params, state, jnp.asarray(x[:t])
+        )
+        on = np.asarray(on)
+        deltas = np.asarray(deltas)
+        rel = np.asarray(rel)
+        g_on = np.zeros_like(on)
+        g_idx = np.zeros_like(deltas)
+        for i in range(t // 128):
+            o, d, r = golden(x[i * 128 : (i + 1) * 128])
+            g_on[i] = o
+            g_idx[i] = d
+            np.testing.assert_allclose(
+                rel[i * 128 : (i + 1) * 128], r, atol=2e-3,
+                err_msg=f"rel envelope diverged at block {i}",
+            )
+        np.testing.assert_array_equal(on, g_on)
+        # deltas only meaningful where an onset fired
+        np.testing.assert_array_equal(deltas[g_on], g_idx[g_on])
+
+    def test_rel_envelope_with_hipass_close_to_golden(self):
+        """With the IIR high-pass on, envelopes may drift by fp32 FMA order
+        but must stay relatively close."""
+        cfg = DetectorConfig(
+            n_channels=3, block_size=128, hipass_freq=2000.0, sr=96000
+        )
+        x, _ = synth_hits(128 * 200, 3)
+        static, params, state = detector_init(cfg)
+        golden = GoldenDetector(cfg)
+        t = 128 * 200
+        _, (_, _, rel) = detect_offline(
+            static, params, state, jnp.asarray(x[:t])
+        )
+        rel = np.asarray(rel)
+        for i in range(200):
+            _, _, r = golden(x[i * 128 : (i + 1) * 128])
+            np.testing.assert_allclose(
+                rel[i * 128 : (i + 1) * 128], r, rtol=2e-3, atol=1e-2
+            )
+
+    def test_block_equals_offline(self):
+        cfg = DetectorConfig(n_channels=2, block_size=64, hipass_freq=0.0)
+        x, _ = synth_hits(64 * 100, 2, seed=3)
+        static, params, state = detector_init(cfg)
+        s2 = state
+        ons, deltas = [], []
+        for i in range(100):
+            s2, (on, d, _) = detect_block(
+                static, params, s2, jnp.asarray(x[i * 64 : (i + 1) * 64])
+            )
+            ons.append(np.asarray(on))
+            deltas.append(np.asarray(d))
+        _, (on_all, d_all, _) = detect_offline(
+            static, params, state, jnp.asarray(x[: 64 * 100])
+        )
+        np.testing.assert_array_equal(np.stack(ons), np.asarray(on_all))
+        got = np.stack(deltas)[np.stack(ons)]
+        want = np.asarray(d_all)[np.asarray(on_all)]
+        np.testing.assert_array_equal(got, want)
+
+    def test_detects_synthetic_hits(self):
+        x, hits = synth_hits(96000 * 2, 3)
+        channels, onsets, rel = detect_onsets_amplitude(
+            x, sr=96000, hipass_freq=0.0
+        )
+        assert len(onsets) >= 0.8 * 3 * len(hits)
+        # every detection is near a true hit
+        for o in onsets:
+            assert min(abs(o - h) for h in hits) < 1500
+        assert rel.shape[1] == 3
+
+    def test_wrapper_class(self):
+        od = AmplitudeOnsetDetector(3, 128, hipass_freq=0.0, sr=96000)
+        x, _ = synth_hits(96000, 3)
+        od.init_minmax_tracker(x[:48000])
+        found = 0
+        for i in range(48000 // 128, len(x) // 128):
+            c, d, r = od(x[i * 128 : (i + 1) * 128])
+            found += len(c)
+            assert r.shape == (128, 3)
+        assert found > 0
+
+    def test_manual_thresholds(self):
+        cfg = DetectorConfig(
+            n_channels=2, block_size=64, hipass_freq=0.0,
+            on_threshold=5.0, off_threshold=2.0,
+        )
+        static, params, state = detector_init(cfg)
+        assert static.manual
+        x, _ = synth_hits(6400, 2, seed=1)
+        _, (on, _, _) = detect_offline(
+            static, params, state, jnp.asarray(x)
+        )
+        assert np.asarray(on).dtype == bool
+
+    def test_backtracking_moves_onsets_earlier(self):
+        cfg = DetectorConfig(
+            n_channels=1, block_size=128, hipass_freq=0.0,
+            backtrack=True, backtrack_buffer_size=128,
+        )
+        x, hits = synth_hits(96000, 1, seed=2)
+        cfg2 = DetectorConfig(
+            n_channels=1, block_size=128, hipass_freq=0.0, backtrack=False
+        )
+        st1 = detector_init(cfg)
+        st2 = detector_init(cfg2)
+        _, (on1, d1, _) = detect_offline(
+            st1[0], st1[1], st1[2], jnp.asarray(x)
+        )
+        _, (on2, d2, _) = detect_offline(
+            st2[0], st2[1], st2[2], jnp.asarray(x)
+        )
+        np.testing.assert_array_equal(np.asarray(on1), np.asarray(on2))
+        fired = np.asarray(on1)
+        assert (np.asarray(d1)[fired] <= np.asarray(d2)[fired]).all()
+
+
+class TestSpectral:
+    def test_detects_bursts(self):
+        sr = 96000
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1e-3, sr * 2).astype(np.float32)
+        hits = [sr // 2, sr, sr + sr // 2]
+        t = np.arange(800)
+        for h in hits:
+            x[h : h + 800] += (
+                np.sin(2 * np.pi * 6000 / sr * t) * np.exp(-t / 200) * 0.8
+            ).astype(np.float32)
+        peaks = detect_onsets_spectral(x, sr=sr)
+        assert len(peaks) == len(hits)
+        for h in hits:
+            assert min(abs(int(p) - h) for p in peaks) < 3000
+
+
+class TestGrouping:
+    def test_basic_groups(self):
+        onsets = [100, 105, 112, 5000, 5004, 5011, 9000]
+        channels = [0, 1, 2, 2, 0, 1, 0]
+        g = find_onset_groups(onsets, channels, 1000, 3)
+        assert g.shape == (2, 3)
+        np.testing.assert_array_equal(g[0], [100, 105, 112])
+        np.testing.assert_array_equal(g[1], [5004, 5011, 5000])
+
+    def test_min_channels_filters(self):
+        g = find_onset_groups([1, 2, 3], [0, 0, 1], 100, 3)
+        assert g is None
+
+    def test_sentinel_for_missing_channel(self):
+        g = find_onset_groups([10, 20, 3000, 3010, 3020], [0, 2, 0, 1, 2],
+                              500, 2)
+        assert g[0, 1] == -1
+
+    def test_close_channel_filter(self):
+        onsets = [100, 105, 112, 5004, 5000, 5011]
+        channels = [0, 1, 2, 0, 1, 2]
+        g = find_onset_groups(onsets, channels, 500, 3, close_channel=0)
+        # second group's earliest is channel 1 → dropped
+        assert len(g) == 1 and g[0, 0] == 100
+
+
+class TestRefine:
+    def test_fix_onsets_aligns_shifted_channels(self):
+        rng = np.random.default_rng(0)
+        n = 4000
+        audio = rng.normal(0, 1e-4, (n, 3)).astype(np.float64)
+        t = np.arange(300)
+        burst = np.sin(2 * np.pi * 3000 / 96000 * t) * np.exp(-t / 80)
+        true = [1000, 1007, 1019]
+        for ch, s in enumerate(true):
+            audio[s : s + 300, ch] += burst
+        # onsets misestimated by a few samples
+        onsets = np.array([[1000, 1012, 1015]])
+        fixed = fix_onsets(audio, onsets, take_abs=True, d=1)
+        true_lags = np.array([7, 19])
+        fixed_lags = fixed[0, 1:] - fixed[0, 0]
+        assert np.abs(fixed_lags - true_lags).max() <= 2
+
+    def test_filter_data(self):
+        x = np.array([0.0, 1.0, 0.5, 2.0])
+        up = filter_data(x.copy(), "up")
+        assert up[2] == 0 and up[1] == 1.0
+        with pytest.raises(ValueError):
+            filter_data(x, "sideways")
+
+    def test_detect_onset_region(self):
+        audio = np.zeros(1000)
+        audio[500:600] = 1.0
+        audio[:500] = 0.01
+        idx = detect_onset_region(audio, 520, n=256)
+        assert 490 <= idx <= 510
+
+    def test_adjust_onset_prefers_energy(self):
+        x = np.zeros(200)
+        y = np.zeros(200)
+        x[90:110] = 1.0
+        y[100:120] = 1.0
+        # onsets (100, 115), true lag 10 → lag_diff = 5
+        ca, cb = adjust_onset([100, 115], x, y, 10)
+        assert (ca, cb) in [(5, 0), (0, -5)]

@@ -1,0 +1,244 @@
+"""Realtime engine, actions, and online analysis tests."""
+
+import numpy as np
+import pytest
+
+from onset_fingerprinting_tpu.core.config import DetectorConfig, RealtimeConfig
+from onset_fingerprinting_tpu.core.coords import (
+    polar_to_cartesian,
+    speed_of_sound,
+    spherical_to_cartesian,
+)
+from onset_fingerprinting_tpu.core.ring_buffer import CircularArray
+from onset_fingerprinting_tpu.locate import Multilaterate3D
+from onset_fingerprinting_tpu.realtime import (
+    Actions,
+    Bounds,
+    Location,
+    OnlineAnalysis,
+    ParameterChange,
+    ParameterMapper,
+    RealtimeEngine,
+    Sample,
+    find_offset,
+    load_setup,
+    save_setup,
+)
+from onset_fingerprinting_tpu.realtime.actions import FxParams
+
+SR = 96000
+DIAM = 14 * 2.54
+
+
+class TestLocationBounds:
+    def test_location_from_cartesian(self):
+        loc = Location(x=1.0, y=1.0)
+        assert np.isclose(loc.phi, 45.0)
+
+    def test_location_from_polar(self):
+        loc = Location(r=2.0, phi=90.0)
+        assert np.isclose(loc.x, 0.0, atol=1e-6)
+        assert np.isclose(loc.y, 2.0)
+
+    def test_bounds_wraparound_phi(self):
+        b = Bounds(phi=[270, 90])
+        assert Location(r=1.0, phi=0.0) in b
+        assert Location(r=1.0, phi=300.0) in b
+        assert Location(r=1.0, phi=180.0) not in b
+
+    def test_bounds_cartesian(self):
+        b = Bounds(x=[0, 1], y=[0, 1])
+        assert Location(x=0.5, y=0.5) in b
+        assert Location(x=-0.5, y=0.5) not in b
+
+
+class TestActions:
+    def test_parameter_change_sets_fx(self):
+        fx = FxParams(["cutoff"])
+        b = Bounds(phi=[0, 360])
+        pm = ParameterMapper.from_bounds_fx(b, fx, "phi", ["cutoff"])
+        pc = ParameterChange([b], fx, [pm])
+        actions = Actions()
+        actions.append(pc)
+        out = np.zeros((128, 2), np.float32)
+        actions.run(out, Location(r=1.0, phi=180.0))
+        assert np.isclose(fx.parameters["cutoff"].raw_value, 0.5)
+
+    def test_sample_playback_consumes(self):
+        sample = np.ones((100, 2), np.float32)
+        s = Sample([Bounds()], sample, gain=0.5)
+        actions = Actions()
+        actions.append(s)
+        out = np.zeros((64, 2), np.float32)
+        actions.run(out, Location(x=0.0, y=0.1))
+        assert np.allclose(out, 0.5)
+        out2 = np.zeros((64, 2), np.float32)
+        actions.run(out2, Location(x=0.0, y=0.1))
+        # re-triggered AND continued: consumed after 100 samples then reset
+        assert s.current_sample <= 100
+
+    def test_spawn_on_consumption(self):
+        spawned = Sample([Bounds()], np.ones((10, 2), np.float32))
+        s = Sample([Bounds()], np.ones((10, 2), np.float32))
+        s.spawn = spawned
+        actions = Actions()
+        actions.append(s)
+        out = np.zeros((64, 2), np.float32)
+        actions.run(out, Location(x=0.0, y=0.1))
+        assert spawned in actions.actions
+
+
+def _make_engine(ring_seconds=0.5):
+    cfg = DetectorConfig(
+        n_channels=3, block_size=128, hipass_freq=0.0, sr=SR,
+        fast_attack=3.0, fast_release=383.0,
+    )
+    polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+    locator = Multilaterate3D(
+        polar, drum_diameter=DIAM, medium="drumhead", sr=SR
+    )
+    return cfg, locator, RealtimeEngine(cfg, locator, ring_seconds=ring_seconds)
+
+
+class TestRealtimeEngine:
+    def test_detect_and_locate_stream(self):
+        cfg, locator, eng = _make_engine()
+        radius = DIAM / 2
+        polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+        xyz = [
+            tuple(
+                float(v)
+                for v in spherical_to_cartesian(r * radius, phi, th)
+            )
+            for (r, phi, th) in polar
+        ]
+        c = speed_of_sound(100, medium="drumhead")
+        rng = np.random.default_rng(0)
+        n = SR  # 1 s
+        audio = rng.normal(0, 1e-4, (n, 3)).astype(np.float32)
+        hits = [(4.0, -2.0, 30000), (-7.0, 3.0, 60000)]
+        t = np.arange(600)
+        burst = (np.sin(2 * np.pi * 5000 / SR * t) * np.exp(-t / 150) * 0.6)
+        for (x, y, base) in hits:
+            for ch, (sx, sy, _) in enumerate(xyz):
+                d = np.hypot(x - sx, y - sy)
+                s = base + int(round(d / c * SR))
+                audio[s : s + 600, ch] += burst.astype(np.float32)
+        eng.warmup(audio[:12800])
+
+        located = []
+        for i in range(12800 // 128, n // 128):
+            _, locs = eng.process(audio[i * 128 : (i + 1) * 128])
+            located.extend(locs)
+        assert len(located) == len(hits)
+        for (x, y, _), loc in zip(hits, located):
+            assert np.hypot(loc.x - x, loc.y - y) < 1.5
+
+    def test_actions_integration(self):
+        cfg, locator, eng = _make_engine()
+        fx = FxParams(["cutoff"])
+        b = Bounds(phi=[0, 360])
+        pm = ParameterMapper.from_bounds_fx(b, fx, "phi", ["cutoff"])
+        eng.actions.append(ParameterChange([b], fx, [pm]))
+        # inject a fake location by calling actions directly through process
+        out, locs = eng.process(np.zeros((128, 3), np.float32))
+        assert out.shape == (128, 2)
+
+    def test_event_counter(self):
+        cfg, locator, eng = _make_engine()
+        eng.process(np.zeros((128, 3), np.float32))
+        eng.process(np.zeros((128, 3), np.float32))
+        counter, since = eng.event_counter()
+        # counter = index of the last block start + wall-clock samples since
+        assert since >= 0
+        assert counter >= 128
+        assert eng.current_index == 256
+
+
+class TestOnlineAnalysis:
+    def _click_track(self, bpm=120, seconds=6, sr=48000):
+        n = sr * seconds
+        audio = np.random.default_rng(0).normal(0, 1e-3, n).astype(np.float32)
+        beat = int(sr * 60 / bpm)
+        t = np.arange(256)
+        click = (np.sin(2 * np.pi * 2000 / sr * t) * np.exp(-t / 40)).astype(
+            np.float32
+        )
+        for s in range(sr // 2, n - 300, beat):
+            audio[s : s + 256] += click
+        return audio
+
+    def test_onset_strength_and_bpm(self):
+        cfg = RealtimeConfig(
+            sr=48000, blocksize=256, hop_length=256, n_fft=1024,
+            tg_win_length=384, max_recording_seconds=8,
+        )
+        audio = self._click_track(bpm=120, sr=48000)
+        ring = CircularArray(np.zeros((cfg.rec_n, 1), np.float32))
+        ana = OnlineAnalysis(cfg, ring)
+        hop = cfg.hop_length
+        for i in range(len(audio) // hop):
+            ring.write(audio[i * hop : (i + 1) * hop, None])
+            ana.hop()
+        onsets, env = ana.detect_onsets(-900)
+        # ~2 clicks/s over the analyzed window
+        assert len(onsets) >= 6
+        bpm = ana.bpm(-800)
+        assert 110 < bpm < 130 or 55 < bpm < 65  # octave ambiguity allowed
+
+    def test_quantize_start_moves_to_click(self):
+        cfg = RealtimeConfig(
+            sr=48000, blocksize=256, hop_length=256, n_fft=1024,
+            tg_win_length=384, max_recording_seconds=8,
+        )
+        audio = self._click_track(bpm=120, sr=48000)
+        ring = CircularArray(np.zeros((cfg.rec_n, 1), np.float32))
+        ana = OnlineAnalysis(cfg, ring)
+        hop = cfg.hop_length
+        for i in range(len(audio) // hop):
+            ring.write(audio[i * hop : (i + 1) * hop, None])
+            ana.hop()
+        # place a marker 3000 samples after a beat; quantize should pull it
+        beat = int(48000 * 60 / 120)
+        marker = 48000 // 2 + 6 * beat + 3000
+        ana.recording_start = marker
+        move = ana.quantize_start()
+        assert abs(marker + move - (48000 // 2 + 6 * beat)) < 1500
+
+    def test_find_offset(self):
+        sr = 48000
+        bpm = 120
+        beat = sr * 60 // bpm
+        onsets = np.arange(6) * beat + 700
+        off = find_offset(onsets, bpm, sr, method="Powell")
+        assert abs(off + 700) <= 100 or abs(off - (beat - 700)) <= 100
+
+
+class TestSetupIO:
+    def test_round_trip_with_model(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
+
+        args = {"output_size": 2, "hidden_layers": [8], "batch_norm": False,
+                "input_size": 2}
+        fcnn = FCNN(output_size=2, hidden_layers=[8], batch_norm=False)
+        variables = fcnn.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2)), train=False
+        )
+        bundle = FCNNBundle(fcnn, variables)
+        locs = [[0.9, 0, 0], [0.9, 120, 0], [0.9, 240, 0]]
+        save_setup(locs, "drumhead", 82.0, bundle, args, tmp_path)
+        conf, model = load_setup(tmp_path)
+        assert conf["medium"] == "drumhead"
+        assert conf["c"] == 82.0
+        np.testing.assert_allclose(conf["sensor_locations"], locs)
+        pred1 = bundle.call_np((1.0, 2.0))
+        pred2 = model.call_np((1.0, 2.0))
+        np.testing.assert_allclose(pred1, pred2, atol=1e-6)
+
+    def test_no_model(self, tmp_path):
+        save_setup([[0.9, 0, 0]], "air", None, None, None, tmp_path)
+        conf, model = load_setup(tmp_path)
+        assert model is None and conf["c"] is None
