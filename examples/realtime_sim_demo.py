@@ -1,0 +1,135 @@
+"""Simulated realtime serve loop: native ring → executor → fused engine.
+
+Drives the full serving stack without an audio interface: a producer thread
+writes a synthetic 3-sensor drum stream into the native C++ SPSC ring
+(csrc/ofrt.cpp), the native block executor pulls 128-sample blocks on its own
+thread and invokes the fused TPU engine (detect→locate in one device program
+per block), and located hits trigger a ParameterChange action.  Reports
+per-block latency stats against the 1.333 ms realtime budget
+(reference budget: realtime/config.py:33-36).
+
+Run: python examples/realtime_sim_demo.py [--seconds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from onset_fingerprinting_tpu.core.config import DetectorConfig
+from onset_fingerprinting_tpu.core.coords import (
+    speed_of_sound,
+    spherical_to_cartesian,
+)
+from onset_fingerprinting_tpu.locate import Multilaterate3D
+from onset_fingerprinting_tpu.realtime import (
+    Actions,
+    Bounds,
+    ParameterChange,
+    ParameterMapper,
+    RealtimeEngine,
+)
+from onset_fingerprinting_tpu.realtime.actions import FxParams
+from onset_fingerprinting_tpu.runtime_native import NativeExecutor, NativeRing
+
+SR = 96000
+DIAM = 14 * 2.54
+
+
+def synth_stream(seconds: float, seed: int = 0):
+    radius = DIAM / 2
+    polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+    xyz = [
+        tuple(float(v) for v in spherical_to_cartesian(r * radius, phi, th))
+        for (r, phi, th) in polar
+    ]
+    c = speed_of_sound(100, medium="drumhead")
+    rng = np.random.default_rng(seed)
+    n = int(seconds * SR)
+    audio = rng.normal(0, 1e-4, (n, 3)).astype(np.float32)
+    t = np.arange(600)
+    burst = (np.sin(2 * np.pi * 5000 / SR * t) * np.exp(-t / 150) * 0.6)
+    hits = []
+    for base in range(SR // 4, n - 2000, SR // 4):
+        x, y = rng.uniform(-radius * 0.7, radius * 0.7, 2)
+        for ch, (sx, sy, _) in enumerate(xyz):
+            d = np.hypot(x - sx, y - sy)
+            s = base + int(round(d / c * SR))
+            audio[s : s + 600, ch] += burst.astype(np.float32)
+        hits.append((base, x, y))
+    return audio, polar, hits
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=2.0)
+    args = ap.parse_args()
+
+    audio, polar, hits = synth_stream(args.seconds)
+    cfg = DetectorConfig(
+        n_channels=3, block_size=128, hipass_freq=0.0, sr=SR
+    )
+    locator = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                              sr=SR)
+    fx = FxParams(["cutoff"])
+    b = Bounds(phi=[0, 360])
+    actions = Actions()
+    actions.append(
+        ParameterChange(
+            [b], fx, [ParameterMapper.from_bounds_fx(b, fx, "phi", ["cutoff"])]
+        )
+    )
+    engine = RealtimeEngine(cfg, locator, actions=actions)
+    engine.warmup(audio[: SR // 4])
+    # force compile before the stream starts (cold-compile would eat blocks)
+    engine.process(np.zeros((128, 3), np.float32))
+
+    located = []
+
+    def on_block(block, idx):
+        _, locs = engine.process(block)
+        located.extend(locs)
+
+    ring = NativeRing(SR * 4, 3)
+    ex = NativeExecutor(ring, 128, on_block, sample_rate=float(SR))
+    ex.start()
+    # producer: feed in realtime-ish chunks
+    chunk = 1024
+    for i in range(0, len(audio) - chunk + 1, chunk):
+        ring.write(audio[i : i + chunk])
+        time.sleep(chunk / SR / 4)  # feed 4x faster than realtime
+    deadline = time.time() + 10
+    want = (len(audio) // 128) - 1
+    while ex.blocks_processed < want and time.time() < deadline:
+        time.sleep(0.05)
+    ex.stop()
+
+    stats = ex.latency_stats()
+    print(f"blocks: {ex.blocks_processed}, deadline misses "
+          f"(>1.333ms): {ex.deadline_misses}")
+    print(f"block latency: p50 {stats['p50_us']/1000:.3f} ms, "
+          f"p99 {stats['p99_us']/1000:.3f} ms, max {stats['max_us']/1000:.3f} ms")
+    print(f"located {len(located)} hits of {len(hits)} synthesized")
+    errs = []
+    for (base, x, y) in hits:
+        for loc in located:
+            e = np.hypot(loc.x - x, loc.y - y)
+            if e < 3.0:
+                errs.append(e)
+                break
+    print(f"matched {len(errs)}/{len(hits)} within 3 cm "
+          f"(median err {np.median(errs) if errs else float('nan'):.2f} cm)")
+    print(f"fx cutoff now {fx.parameters['cutoff'].raw_value:.3f}")
+    ok = len(errs) >= 0.6 * len(hits)
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

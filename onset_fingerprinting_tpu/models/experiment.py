@@ -1,0 +1,113 @@
+"""Location-model training entry with hyperparameter search.
+
+Equivalent of the reference's training script (reference: train.py:22-145):
+load an MCPOSD session, full-batch train CCCNN location regressors under a
+random-search study with median pruning, report the best ``hp_metric``
+(test L1).  Data and training steps run jitted on the TPU; optionally
+data-parallel over a mesh.
+
+Run: python -m onset_fingerprinting_tpu.models.experiment <folder> <name>
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from onset_fingerprinting_tpu.core.config import TrainConfig
+from onset_fingerprinting_tpu.data.datasets import MCPOSD
+from onset_fingerprinting_tpu.models.cccnn import CCCNN
+from onset_fingerprinting_tpu.models.hpo import Study, Trial, TrialPruned
+from onset_fingerprinting_tpu.models.train import Trainer, make_optimizer
+
+
+def build_cccnn(trial: Optional[Trial] = None, channels: int = 4) -> CCCNN:
+    """The reference's HPO-winning architecture skeleton (train.py:79-90):
+    7 conv layers of width 5 with kernel schedule [1,33,64,15,15,15,1];
+    dropout searched when a trial is given."""
+    dropout = trial.suggest_float("dropout", 0.0, 0.1) if trial else 0.0
+    return CCCNN(
+        output_size=2,
+        channels=channels,
+        layer_sizes=[5] * 7,
+        kernel_sizes=[1, 33, 64, 15, 15, 15, 1],
+        dropout_rate=dropout,
+        batch_norm=True,
+        group=False,
+    )
+
+
+def run_location_hpo(
+    folder: str | Path,
+    name: str,
+    w: int = 256,
+    channels: int = 4,
+    pre_samples: int = 8,
+    n_trials: int = 3,
+    num_epochs: int = 1000,
+    min_epochs: int = 100,
+    patience: int = 500,
+    subsample: int = 8,
+    seed: int = 0,
+    mesh=None,
+) -> Study:
+    """Full pipeline: MCPOSD load → subsampled train / val / test split →
+    HPO study over CCCNN configs → best hp_metric (train.py:22-145)."""
+    dataset = MCPOSD.from_file(folder, name, w, pre_samples, 16, 4)
+    x, y = dataset[0]
+    train = (np.asarray(x)[::subsample], np.asarray(y)[::subsample])
+    test_dataset = MCPOSD.from_file(folder, name, w, 0, 0, 1)
+    val_ds, test_ds = test_dataset.split(0.1, seed=seed)
+    val = (np.asarray(val_ds.x), np.asarray(val_ds.y))
+    test = (np.asarray(test_ds.x), np.asarray(test_ds.y))
+
+    study = Study(seed=seed)
+
+    def objective(trial: Trial) -> float:
+        model = build_cccnn(trial, channels)
+        lr = trial.suggest_float("lr", 1e-4, 1e-2, log=True)
+        cfg = TrainConfig(
+            lr=lr,
+            num_epochs=num_epochs,
+            min_epochs=min_epochs,
+            patience=patience,
+            loss="l1",
+            seed=seed + trial.number,
+            optimizer="sgd",
+        )
+        trainer = Trainer(
+            model,
+            cfg,
+            optimizer=make_optimizer(
+                "sgd", lr * 100, schedule="cosine", schedule_period=100,
+                weight_decay=1e-3, momentum=0.8,
+            ),
+            mesh=mesh,
+        )
+        # pruning checkpoints every 10% of the budget
+        chunk = max(num_epochs // 10, 1)
+        state = None
+        for step in range(10):
+            if state is None:
+                state = trainer.fit(train, val, num_epochs=chunk)
+            else:
+                # continue from best state with a fresh short fit
+                state = trainer.fit(train, val, num_epochs=chunk)
+            monitor = trainer.history["val_loss"][-1]
+            trial.report(monitor, step)
+            if trial.should_prune():
+                raise TrialPruned()
+        return trainer.test(state, test)
+
+    study.optimize(objective, n_trials=n_trials, catch=(RuntimeError,))
+    return study
+
+
+if __name__ == "__main__":  # pragma: no cover - CLI
+    folder, name = sys.argv[1], sys.argv[2]
+    study = run_location_hpo(folder, name)
+    print("best hp_metric:", study.best_value)
+    print("best params:", study.best_params)

@@ -1,0 +1,358 @@
+"""Pallas TPU kernel: the fused streaming amplitude onset detector.
+
+This is the speed-of-light version of the hot path the reference implements
+in C (reference: envelope_follower.c:6-57 + detection.py:727-798): per
+sample, 4th-order IIR high-pass → rectified floor-clipped dB → fast & slow
+attack/release envelopes → relative envelope → EMA min/max tracking; per
+block, adaptive-threshold hysteresis with cooldown.
+
+Why a kernel: the recurrences are sequential over time, and an XLA
+``lax.scan`` pays ~µs of loop overhead per sample step on this TPU backend
+(measured ~0.4-0.5 s per second of audio regardless of channel width).  Here
+the whole time loop runs *inside* one Pallas program: state lives in VMEM
+scratch that persists across the (sequential) grid steps, each grid step
+processes one detector block with a register-resident ``fori_loop``, and the
+block-level threshold logic is evaluated vectorized on the block's
+VMEM-resident relative envelope.
+
+Channels are tiled ``[C/128, 128]`` so per-sample vector ops fill VPU lanes;
+batch = more channel tiles (the detector is channel-independent, so a batch
+of B 4-channel streams is one ``4·B``-channel detector — no vmap, no
+recompilation).  dB conversions use exp2/log2 (the VPU-native
+transcendentals): 20·log10|x| ≡ (20/log2 10)·log2|x|.
+
+Numerics match ``detect.amplitude.detect_offline`` to float32 tolerance;
+golden-tested against it (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from onset_fingerprinting_tpu.core.config import DetectorConfig
+from onset_fingerprinting_tpu.detect.amplitude import (
+    DetectorParams,
+    DetectorState,
+    detector_init,
+)
+
+LANE = 128
+ORDER = 4
+_LOG2_10_OVER_20 = math.log2(10.0) / 20.0
+_20_OVER_LOG2_10 = 20.0 / math.log2(10.0)
+#: on-threshold pad value: padded channels must never fire
+_PAD_THRESHOLD = 1e9
+
+
+class PallasDetectorStatic(NamedTuple):
+    block_size: int
+    floor: float
+    fast_attack: float
+    fast_release: float
+    slow_attack: float
+    slow_release: float
+    cooldown: int
+    manual: bool
+    alpha_min: float
+    alpha_max: float
+    minmin: float
+    iir_b: tuple  # 5 floats; identity filter when hipass is off
+    iir_a: tuple
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _detector_kernel(
+    static: PallasDetectorStatic,
+    # inputs
+    x_ref,       # [B, S, 128] audio block (grid-sliced)
+    on_th_ref,   # [S, 128]
+    off_th_ref,  # [S, 128]
+    zi0_ref,     # [ORDER, S, 128]
+    yf0_ref, ys0_ref, mn0_ref, mx0_ref,      # [S, 128]
+    gate0_ref, prev0_ref, deb0_ref,           # [S, 128]
+    # outputs
+    on_ref,      # [1, S, 128] int32 (grid-sliced)
+    delta_ref,   # [1, S, 128] int32
+    rel_ref,     # [B, S, 128] f32 (grid-sliced)
+    zi_out, yf_out, ys_out, mn_out, mx_out,   # final streaming state
+    gate_out, prev_out, deb_out,
+    # scratch (persists across sequential grid steps)
+    zi_s, yf_s, ys_s, mn_s, mx_s, gate_s, prev_s, deb_s,
+):
+    i = pl.program_id(0)
+    bsz = static.block_size
+    eps = jnp.float32(1e-10)
+    floor = jnp.float32(static.floor)
+    fa = jnp.float32(static.fast_attack)
+    fr = jnp.float32(static.fast_release)
+    sa = jnp.float32(static.slow_attack)
+    sr_ = jnp.float32(static.slow_release)
+    am, ax = jnp.float32(static.alpha_min), jnp.float32(static.alpha_max)
+    iam, iax = 1 - am, 1 - ax
+    mm = jnp.float32(static.minmin)
+    b = [jnp.float32(v) for v in static.iir_b]
+    a = [jnp.float32(v) for v in static.iir_a]
+
+    @pl.when(i == 0)
+    def _init():
+        zi_s[:] = zi0_ref[:]
+        yf_s[:] = yf0_ref[:]
+        ys_s[:] = ys0_ref[:]
+        mn_s[:] = mn0_ref[:]
+        mx_s[:] = mx0_ref[:]
+        gate_s[:] = gate0_ref[:]
+        prev_s[:] = prev0_ref[:]
+        deb_s[:] = deb0_ref[:]
+
+    # ---- pass 1: per-sample recurrences --------------------------------
+    # Envelope/minmax state is carried in loop registers; the IIR delay line
+    # lives in VMEM scratch (a wider loop carry explodes Mosaic compile time
+    # — an 8-array carry took >9 min to compile vs ~5 s with this split, and
+    # full unroll is likewise compile-prohibitive on this toolchain).
+    # NOTE on tuning: carrying the IIR delay line in the loop carry, manual
+    # in-body unrolling, and Mosaic full unroll were all tried — each
+    # multiplies Mosaic compile time to minutes for no runtime win; the loop
+    # is bound by fixed per-iteration machinery, so throughput scales with
+    # channel width instead (see module docstring).
+    def sample_step(t, carry):
+        yf, ys, mn, mx = carry
+        xt = x_ref[t]
+        zi = zi_s[:]
+        y = b[0] * xt + zi[0]
+        zi_s[0] = b[1] * xt + zi[1] - a[1] * y
+        zi_s[1] = b[2] * xt + zi[2] - a[2] * y
+        zi_s[2] = b[3] * xt + zi[3] - a[3] * y
+        zi_s[3] = b[4] * xt - a[4] * y
+        xdb = jnp.float32(_20_OVER_LOG2_10) * jnp.log2(jnp.abs(y + eps))
+        xdb = jnp.maximum(xdb, floor)
+        df = xdb - yf + eps
+        yf = yf + jnp.where(df > 0, fa, fr) * df
+        ds = xdb - ys + eps
+        ys = ys + jnp.where(ds > 0, sa, sr_) * ds
+        rel = jnp.exp2((yf - ys) * jnp.float32(_LOG2_10_OVER_20)) - eps
+        rel = jnp.clip(rel, 0.0, -floor)
+        rel_ref[t] = rel
+        if not static.manual:
+            mn = jnp.where(
+                rel < mm, mm, jnp.where(rel < mn, rel, mn * iam + rel * am)
+            )
+            mx = jnp.where(rel > mx, rel, mx * iax + rel * ax)
+        return yf, ys, mn, mx
+
+    yf, ys, mn, mx = jax.lax.fori_loop(
+        0, bsz, sample_step, (yf_s[:], ys_s[:], mn_s[:], mx_s[:])
+    )
+    yf_s[:] = yf
+    ys_s[:] = ys
+    mn_s[:] = mn
+    mx_s[:] = mx
+
+    # ---- pass 2: block-level hysteresis (vectorized) --------------------
+    # Boolean logic is expressed with f32 0/1 masks: this Mosaic target
+    # rejects i1 vector materialization (trunci i8→i1).
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    def mask(cond):
+        return jnp.where(cond, one, zero)
+
+    rel = rel_ref[:]  # [B, S, 128]
+    if static.manual:
+        on_th = on_th_ref[:]
+        off_th = off_th_ref[:]
+    else:
+        on_th = mx * on_th_ref[:] + mn
+        off_th = mx * off_th_ref[:] + mn
+    gate = gate_s[:]  # f32 0/1
+    deb = deb_s[:]
+
+    prev_full = jnp.concatenate([prev_s[:][None], rel[:-1]], axis=0)
+    crossed = (
+        mask(rel > on_th[None])
+        * (one - gate[None])
+        * mask(deb[None] < 1)
+        * mask(prev_full < on_th[None])
+    )
+
+    row = jax.lax.broadcasted_iota(jnp.int32, rel.shape, 0)
+    first = jnp.min(
+        jnp.where(crossed > 0, row, jnp.int32(bsz)), axis=0
+    )  # [S, 128]
+    on_f = mask(first < bsz)
+    on_idx = jnp.where(first < bsz, first, jnp.int32(0))
+
+    gate = jnp.maximum(gate, on_f)
+    deb = jnp.where(on_f > 0, jnp.float32(static.cooldown), deb)
+    deb = jnp.where(deb > 0, deb - bsz, deb)
+
+    off_mask = mask(rel < off_th[None]) * mask(row >= jnp.max(on_idx))
+    gate = gate * (one - jnp.max(off_mask, axis=0))
+
+    gate_s[:] = gate
+    deb_s[:] = deb
+    prev_s[:] = rel_ref[bsz - 1]
+
+    on_ref[0] = on_f.astype(jnp.int32)
+    delta_ref[0] = on_idx
+
+    # ---- stream state out (last write wins) -----------------------------
+    zi_out[:] = zi_s[:]
+    yf_out[:] = yf_s[:]
+    ys_out[:] = ys_s[:]
+    mn_out[:] = mn_s[:]
+    mx_out[:] = mx_s[:]
+    gate_out[:] = gate_s[:]
+    prev_out[:] = prev_s[:]
+    deb_out[:] = deb_s[:]
+
+
+def pallas_static(static, params: DetectorParams) -> PallasDetectorStatic:
+    """Bake a detector config + designed IIR into kernel constants."""
+    if static.use_hipass:
+        iir_b = tuple(float(v) for v in np.asarray(params.b))
+        iir_a = tuple(float(v) for v in np.asarray(params.a))
+    else:
+        iir_b = (1.0, 0.0, 0.0, 0.0, 0.0)  # identity filter
+        iir_a = (1.0, 0.0, 0.0, 0.0, 0.0)
+    return PallasDetectorStatic(
+        block_size=static.block_size,
+        floor=static.floor,
+        fast_attack=static.fast_attack,
+        fast_release=static.fast_release,
+        slow_attack=static.slow_attack,
+        slow_release=static.slow_release,
+        cooldown=static.cooldown,
+        manual=static.manual,
+        alpha_min=static.alpha_min,
+        alpha_max=static.alpha_max,
+        minmin=static.minmin,
+        iir_b=iir_b,
+        iir_a=iir_a,
+    )
+
+
+def _tile(arr: jnp.ndarray, c_pad: int, pad_value: float = 0.0) -> jnp.ndarray:
+    """[.., C] → [.., C_pad/128, 128] lane tiling."""
+    pad = c_pad - arr.shape[-1]
+    if pad:
+        arr = jnp.pad(
+            arr,
+            [(0, 0)] * (arr.ndim - 1) + [(0, pad)],
+            constant_values=pad_value,
+        )
+    return arr.reshape(arr.shape[:-1] + (c_pad // LANE, LANE))
+
+
+def _untile(arr: jnp.ndarray, c: int) -> jnp.ndarray:
+    return arr.reshape(arr.shape[:-2] + (-1,))[..., :c]
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def pallas_detect_offline(
+    pstatic: PallasDetectorStatic,
+    params: DetectorParams,
+    state: DetectorState,
+    x: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Fused-kernel detector over ``x [T, C]`` (T a multiple of block size).
+
+    Returns ``(new_state, (on [nb, C] bool, deltas [nb, C] i32,
+    rel [T, C] f32))`` — the same contract as
+    ``detect.amplitude.detect_offline``.
+    """
+    t, c = x.shape
+    bsz = pstatic.block_size
+    nb = t // bsz
+    c_pad = _round_up(max(c, LANE), LANE)
+    s = c_pad // LANE
+    sl = (s, LANE)
+
+    xt = _tile(x.astype(jnp.float32), c_pad)  # [T, S, 128]
+    on_th = _tile(params.on_threshold, c_pad, pad_value=_PAD_THRESHOLD)
+    off_th = _tile(params.off_threshold, c_pad)
+    if state.zi.shape[0] == ORDER:
+        zi0 = _tile(state.zi.astype(jnp.float32), c_pad)
+    else:
+        zi0 = jnp.zeros((ORDER, *sl), jnp.float32)
+    tl = lambda v: _tile(v.astype(jnp.float32), c_pad)
+    sv = [
+        tl(state.fast), tl(state.slow), tl(state.min_val), tl(state.max_val),
+        tl(state.gate), tl(state.prev_rel), tl(state.debounce),
+    ]
+
+    const2 = pl.BlockSpec(sl, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    const3 = pl.BlockSpec(
+        (ORDER, *sl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    per_block_1 = pl.BlockSpec(
+        (1, *sl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    per_block_b = pl.BlockSpec(
+        (bsz, *sl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    outs = pl.pallas_call(
+        partial(_detector_kernel, pstatic),
+        grid=(nb,),
+        in_specs=[per_block_b, const2, const2, const3] + [const2] * 7,
+        out_specs=(
+            per_block_1,            # on
+            per_block_1,            # deltas
+            per_block_b,            # rel
+            const3,                 # zi final
+            *([const2] * 7),        # state finals
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
+            jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
+            jax.ShapeDtypeStruct((t, *sl), jnp.float32),
+            jax.ShapeDtypeStruct((ORDER, *sl), jnp.float32),
+            *[jax.ShapeDtypeStruct(sl, jnp.float32) for _ in range(7)],
+        ),
+        scratch_shapes=[pltpu.VMEM((ORDER, *sl), jnp.float32)]
+        + [pltpu.VMEM(sl, jnp.float32) for _ in range(7)],
+        interpret=interpret,
+    )(xt, on_th, off_th, zi0, *sv)
+
+    on, deltas, rel, zi_f, yf_f, ys_f, mn_f, mx_f, gate_f, prev_f, deb_f = outs
+    new_state = DetectorState(
+        zi=_untile(zi_f, c)[: state.zi.shape[0]],
+        fast=_untile(yf_f, c),
+        slow=_untile(ys_f, c),
+        min_val=_untile(mn_f, c),
+        max_val=_untile(mx_f, c),
+        gate=_untile(gate_f, c) > 0,
+        prev_rel=_untile(prev_f, c),
+        debounce=_untile(deb_f, c).astype(jnp.int32),
+        bt_buffer=state.bt_buffer,
+        bt_pos=state.bt_pos,
+    )
+    return new_state, (
+        _untile(on, c) > 0,
+        _untile(deltas, c),
+        _untile(rel, c),
+    )
+
+
+def make_pallas_detector(cfg: DetectorConfig, interpret: bool = False):
+    """(static, params, state, run) with the kernel bound; ``run(state, x)``
+    mirrors ``detect_offline``."""
+    static, params, state = detector_init(cfg)
+    pstatic = pallas_static(static, params)
+
+    def run(state: DetectorState, x: jnp.ndarray):
+        return pallas_detect_offline(pstatic, params, state, x, interpret)
+
+    return static, params, state, run

@@ -14,9 +14,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
 
-# The axon TPU plugin ignores JAX_PLATFORMS; pin the default device to host
-# CPU so the suite is hermetic (TPU execution is covered by bench.py).
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+# jax is preloaded at interpreter start (axon sitecustomize), so env vars are
+# too late — but backend init is lazy: restricting platforms via config here
+# makes the suite CPU-only and fully independent of the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

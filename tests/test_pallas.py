@@ -1,0 +1,81 @@
+"""Pallas fused-detector kernel golden tests (interpret mode on CPU; the
+compiled path is exercised by bench.py on real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onset_fingerprinting_tpu.core.config import DetectorConfig
+from onset_fingerprinting_tpu.detect.amplitude import (
+    detect_offline,
+    detector_init,
+)
+from onset_fingerprinting_tpu.ops.pallas_detector import make_pallas_detector
+
+
+def synth(T, C, seed=0, spacing=1900):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1e-4, (T, C)).astype(np.float32)
+    t = np.arange(600)
+    burst = (np.sin(2 * np.pi * 5000 / 96000 * t) * np.exp(-t / 120) * 0.5)
+    for base in range(2000, T - 700, spacing):
+        x[base : base + 600] += burst[:, None].astype(np.float32)
+    return x
+
+
+@pytest.mark.parametrize("hipass", [0.0, 2000.0])
+def test_kernel_matches_scan_detector(hipass):
+    T, C = 128 * 50, 3
+    x = synth(T, C)
+    cfg = DetectorConfig(
+        n_channels=C, block_size=128, hipass_freq=hipass, sr=96000
+    )
+    static, params, state = detector_init(cfg)
+    _, (on_ref, d_ref, rel_ref) = detect_offline(
+        static, params, state, jnp.asarray(x)
+    )
+    _, _, pstate, run = make_pallas_detector(cfg, interpret=True)
+    new_state, (on, d, rel) = run(pstate, jnp.asarray(x))
+    on, d = np.asarray(on), np.asarray(d)
+    on_ref, d_ref = np.asarray(on_ref), np.asarray(d_ref)
+    np.testing.assert_array_equal(on, on_ref)
+    np.testing.assert_array_equal(d[on_ref], d_ref[on_ref])
+    # exp2/log2 vs 10**x/log10 fp32 differences stay tiny
+    np.testing.assert_allclose(
+        np.asarray(rel), np.asarray(rel_ref), atol=2e-2
+    )
+
+
+def test_kernel_streaming_state_carries():
+    """Two sequential kernel calls == one long call (streaming contract)."""
+    T, C = 128 * 40, 2
+    x = synth(T, C, seed=3)
+    cfg = DetectorConfig(
+        n_channels=C, block_size=128, hipass_freq=0.0, sr=96000
+    )
+    _, _, state, run = make_pallas_detector(cfg, interpret=True)
+    _, (on_full, d_full, _) = run(state, jnp.asarray(x))
+    st = state
+    ons = []
+    half = T // 2
+    for seg in (x[:half], x[half:]):
+        st, (on, d, _) = run(st, jnp.asarray(seg))
+        ons.append(np.asarray(on))
+    np.testing.assert_array_equal(
+        np.concatenate(ons), np.asarray(on_full)
+    )
+
+
+def test_kernel_channel_padding_inert():
+    """Padding channels to the 128-lane tile must not change detections."""
+    T = 128 * 30
+    x = synth(T, 2, seed=5)
+    cfg = DetectorConfig(
+        n_channels=2, block_size=128, hipass_freq=0.0, sr=96000
+    )
+    _, _, state, run = make_pallas_detector(cfg, interpret=True)
+    _, (on, d, rel) = run(state, jnp.asarray(x))
+    assert np.asarray(on).shape == (30, 2)
+    assert np.asarray(rel).shape == (T, 2)
+    # detections happen on both real channels
+    assert np.asarray(on).sum() > 0
