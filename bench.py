@@ -42,7 +42,10 @@ def main() -> int:
     sr = 96000
     seconds = 1
     channels_per_stream = 4
-    n_streams = 512
+    # 256 4-ch streams = 1024 detector channels (8 lane-tiles): the widest
+    # configuration whose Mosaic compile stays fast on this toolchain
+    # (S=16 tiles explodes compile time).
+    n_streams = 256
     c = n_streams * channels_per_stream
     t = sr * seconds
 

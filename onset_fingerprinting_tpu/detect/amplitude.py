@@ -399,13 +399,16 @@ def detect_onsets_amplitude(
     backtrack_buffer_size: int = 128,
     backtrack_smooth_size: int = 5,
     sr: int = 96000,
+    backend: str = "scan",
 ):
     """Offline amplitude detection over a full recording ``[N, C]``.
 
     Same contract as the reference driver (detection.py:19-86): warms the
     min/max tracker on the first 0.5 s, then processes every full block;
     returns (channels, onsets, rel) with onsets as absolute sample indices.
-    On TPU the block loop is a single fused ``lax.scan`` device program.
+    ``backend``: 'scan' (portable lax.scan program) or 'pallas' (fused TPU
+    kernel, ops.pallas_detector — fastest for wide channel counts; no
+    backtracking support).
     """
     cfg = DetectorConfig(
         n_channels=x.shape[1],
@@ -441,9 +444,20 @@ def detect_onsets_amplitude(
     if warm:
         state = warmup_minmax(static, params, state, jnp.asarray(x[:warm]))
     t = (len(x) // block_size) * block_size
-    _, (on, deltas, rel) = detect_offline(
-        static, params, state, jnp.asarray(x[:t])
-    )
+    if backend == "pallas":
+        from onset_fingerprinting_tpu.ops.pallas_detector import (
+            pallas_detect_offline,
+            pallas_static,
+        )
+
+        assert not backtrack, "pallas backend does not support backtracking"
+        _, (on, deltas, rel) = pallas_detect_offline(
+            pallas_static(static, params), params, state, jnp.asarray(x[:t])
+        )
+    else:
+        _, (on, deltas, rel) = detect_offline(
+            static, params, state, jnp.asarray(x[:t])
+        )
     on = np.asarray(on)
     deltas = np.asarray(deltas)
     blocks, chans = np.nonzero(on)

@@ -30,31 +30,32 @@ class RNN(nn.Module):
     share_input_weights: bool = False
     permute_input: bool = True
 
-    def _stack(self, name: str):
-        cell = _CELLS[self.rnn_type]
-        layers = []
-        for i in range(self.num_layers):
-            fwd = nn.RNN(cell(features=self.hidden_size), name=f"{name}_l{i}")
-            if self.bidirectional:
-                bwd = nn.RNN(
-                    cell(features=self.hidden_size),
-                    reverse=True,
-                    keep_order=True,
-                    name=f"{name}_l{i}_rev",
-                )
-                layers.append((fwd, bwd))
-            else:
-                layers.append((fwd, None))
-        return layers
-
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.permute_input:
             x = jnp.swapaxes(x, 1, 2)  # [B, L, C]
 
-        def run_stack(inp, name):
+        # build the recurrent stack once so the shared-weights mode reuses
+        # the same module instances for every channel pair
+        cell = _CELLS[self.rnn_type]
+        layers = []
+        for i in range(self.num_layers):
+            fwd = nn.RNN(cell(features=self.hidden_size), name=f"rnn_l{i}")
+            bwd = (
+                nn.RNN(
+                    cell(features=self.hidden_size),
+                    reverse=True,
+                    keep_order=True,
+                    name=f"rnn_l{i}_rev",
+                )
+                if self.bidirectional
+                else None
+            )
+            layers.append((fwd, bwd))
+
+        def run_stack(inp):
             h = inp
-            for i, (fwd, bwd) in enumerate(self._stack(name)):
+            for i, (fwd, bwd) in enumerate(layers):
                 out = fwd(h)
                 if bwd is not None:
                     out = jnp.concatenate([out, bwd(h)], axis=-1)
@@ -66,12 +67,11 @@ class RNN(nn.Module):
             return h
 
         if not self.share_input_weights:
-            out = run_stack(x, "rnn")
+            out = run_stack(x)
         else:
             channels = x.shape[-1]
             outs = [
-                run_stack(x[..., i : i + 2], "rnn")
-                for i in range(channels - 1)
+                run_stack(x[..., i : i + 2]) for i in range(channels - 1)
             ]
             out = jnp.concatenate(outs, axis=-1)
         out = nn.LayerNorm()(out)

@@ -248,3 +248,38 @@ class Trainer:
             state.params, state.batch_stats, jnp.asarray(x), False
         )
         return np.asarray(out)
+
+    # -- checkpoint / resume (orbax; SURVEY §5.4) -----------------------------
+
+    def save_checkpoint(self, state: TrainState, path) -> None:
+        """Persist params + batch stats (model weights) with orbax."""
+        import pathlib
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": jax.tree.map(np.asarray, state.params),
+            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+        }
+        ckptr.save(pathlib.Path(path).resolve(), payload, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path, example_x: np.ndarray) -> TrainState:
+        """Restore into a fresh TrainState (optimizer state reinitialized)."""
+        import pathlib
+
+        import orbax.checkpoint as ocp
+
+        state = self.init_state(jnp.asarray(example_x))
+        target = {
+            "params": jax.tree.map(np.asarray, state.params),
+            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+        }
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(pathlib.Path(path).resolve(), target=target)
+        return state._replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=self.optimizer.init(restored["params"]),
+        )

@@ -72,12 +72,32 @@ def make_engine_step(
     locator: Multilaterate3D,
     ring_seconds: float = 2.0,
     capacity: int = 8,
+    use_pallas: bool = False,
 ):
     """Build (initial EngineState, jitted step fn).
 
     The locator's lag maps and geometry are baked in as device constants.
+    ``use_pallas`` swaps the per-block detector for the fused Pallas kernel
+    (TPU only; the XLA-scan path is the portable default).
     """
     static, params, dstate = detector_init(cfg)
+    if use_pallas:
+        from onset_fingerprinting_tpu.ops.pallas_detector import (
+            pallas_detect_offline,
+            pallas_static,
+        )
+
+        pstatic = pallas_static(static, params)
+
+        def detect_fn(params_, st, block):
+            st, (on, deltas, rel) = pallas_detect_offline(
+                pstatic, params_, st, block
+            )
+            return st, (on[0], deltas[0], rel)
+    else:
+
+        def detect_fn(params_, st, block):
+            return detect_block(static, params_, st, block)
     locate_update = make_locate_update(locator, capacity=capacity)
     c = cfg.n_channels
     ring = ring_init(
@@ -96,9 +116,7 @@ def make_engine_step(
     def step(
         state: EngineState, block: jnp.ndarray, params_: DetectorParams
     ) -> tuple[EngineState, BlockEvents]:
-        dstate, (on, deltas, rel) = detect_block(
-            static, params_, state.detector, block
-        )
+        dstate, (on, deltas, rel) = detect_fn(params_, state.detector, block)
         ring = ring_write(state.ring, block)
         onsets_abs = state.sample_count + deltas
 
@@ -159,6 +177,7 @@ class RealtimeEngine:
         ring_seconds: float = 2.0,
         monitor_channels: int = 2,
         host_ring: Optional[CircularArray] = None,
+        use_pallas: bool = False,
     ):
         self.cfg = cfg
         self.locator = locator
@@ -166,7 +185,7 @@ class RealtimeEngine:
         self.fx = list(fx)
         self.monitor_channels = monitor_channels
         self.state, self.params, self._step = make_engine_step(
-            cfg, locator, ring_seconds
+            cfg, locator, ring_seconds, use_pallas=use_pallas
         )
         self.host_ring = host_ring
         self.current_index = 0

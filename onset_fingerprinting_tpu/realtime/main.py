@@ -1,0 +1,135 @@
+"""Serve-loop application entry.
+
+Equivalent of the reference's realtime app (reference: realtime/main.py:
+20-105): load the saved setup (sensor geometry + location model), build the
+fused engine, arm a whole-surface ParameterChange mapping phi → an FX
+parameter, and run — against a live PortAudio stream when sounddevice is
+available, otherwise against a WAV file streamed through the native C++
+executor (the hermetic TPU-host path).
+
+Run:
+    python -m onset_fingerprinting_tpu.realtime.main <setup_dir> [--wav f.wav]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from onset_fingerprinting_tpu.core.config import DetectorConfig
+from onset_fingerprinting_tpu.locate import Multilaterate3D
+from onset_fingerprinting_tpu.realtime.actions import (
+    Actions,
+    Bounds,
+    FxParams,
+    ParameterChange,
+    ParameterMapper,
+)
+from onset_fingerprinting_tpu.realtime.engine import RealtimeEngine
+from onset_fingerprinting_tpu.realtime.setup_io import load_setup
+
+
+def build_engine(
+    setup_dir: str | Path,
+    sr: int = 96000,
+    blocksize: int = 128,
+    fx=None,
+) -> RealtimeEngine:
+    """Wire setup → locator → engine → actions (realtime/main.py:66-98)."""
+    conf, model = load_setup(Path(setup_dir))
+    locator = Multilaterate3D(
+        sensor_locations=conf["sensor_locations"],
+        sr=sr,
+        medium=conf["medium"],
+        c=conf["c"],
+        model=model,
+    )
+    n_channels = len(conf["sensor_locations"])
+    cfg = DetectorConfig(
+        n_channels=n_channels,
+        block_size=blocksize,
+        hipass_freq=0.0,
+        fast_attack=0.3,
+        fast_release=800.0,
+        slow_attack=8000.0,
+        slow_release=8000.0,
+        on_threshold=0.45,
+        off_threshold=0.45,
+        cooldown=1323,
+        sr=sr,
+    )
+    if fx is None:
+        fx = FxParams(["svf_cutoff_hz"])
+    actions = Actions()
+    b = Bounds(phi=[0, 360])
+    pm = ParameterMapper.from_bounds_fx(b, fx, "phi", ["svf_cutoff_hz"])
+    actions.append(ParameterChange([b], fx, [pm]))
+    return RealtimeEngine(cfg, locator, actions=actions, fx=[fx])
+
+
+def run_wav(engine: RealtimeEngine, wav: str | Path) -> None:
+    """Stream a WAV through the native executor at audio rate."""
+    from onset_fingerprinting_tpu.core.audio_io import read_wav
+    from onset_fingerprinting_tpu.runtime_native import (
+        NativeExecutor,
+        NativeRing,
+    )
+
+    audio, sr = read_wav(wav)
+    if audio.ndim == 1:
+        audio = audio[:, None]
+    c = engine.cfg.n_channels
+    audio = audio[:, :c]
+    engine.process(np.zeros((engine.cfg.block_size, c), np.float32))
+
+    def on_block(block, idx):
+        _, locs = engine.process(block)
+        for loc in locs:
+            print(f"hit @ block {idx}: {loc}")
+
+    ring = NativeRing(sr * 4, c)
+    ex = NativeExecutor(ring, engine.cfg.block_size, on_block,
+                        sample_rate=float(sr))
+    ex.start()
+    chunk = 4096
+    for i in range(0, len(audio) - chunk + 1, chunk):
+        ring.write(audio[i : i + chunk])
+        time.sleep(chunk / sr)
+    while ring.readable >= engine.cfg.block_size:
+        time.sleep(0.05)
+    ex.stop()
+    stats = ex.latency_stats()
+    print(
+        f"{ex.blocks_processed} blocks, {ex.deadline_misses} deadline misses, "
+        f"p50 {stats['p50_us']/1000:.3f} ms p99 {stats['p99_us']/1000:.3f} ms"
+    )
+
+
+def main():  # pragma: no cover - CLI
+    ap = argparse.ArgumentParser()
+    ap.add_argument("setup_dir")
+    ap.add_argument("--wav", default=None, help="stream a wav instead of live audio")
+    ap.add_argument("--sr", type=int, default=96000)
+    args = ap.parse_args()
+
+    engine = build_engine(args.setup_dir, sr=args.sr)
+    if args.wav:
+        run_wav(engine, args.wav)
+        return
+    try:
+        stream = engine.stream()
+    except RuntimeError as e:
+        print(f"{e}; use --wav for file streaming", file=sys.stderr)
+        sys.exit(2)
+    with stream:
+        print("serving — ctrl-c to stop")
+        threading.Event().wait()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,159 @@
+"""Model family tests: shapes, training convergence, paired xcorr, HPO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onset_fingerprinting_tpu.core.config import TrainConfig
+from onset_fingerprinting_tpu.models import (
+    CCCNN,
+    CNN,
+    CNNRNN,
+    FCNN,
+    RNN,
+    Trainer,
+    make_optimizer,
+    paired_xcorr,
+)
+from onset_fingerprinting_tpu.models.hpo import Study, TrialPruned
+
+
+def _data(n=32, c=4, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, c, w)).astype(np.float32)
+    # targets linearly depend on a simple statistic so models can learn
+    y = np.stack(
+        [x[:, 0].mean(axis=1), x[:, 1].std(axis=1)], axis=1
+    ).astype(np.float32)
+    return x, y
+
+
+class TestForwardShapes:
+    @pytest.mark.parametrize(
+        "model",
+        [
+            CNN(output_size=2, layer_sizes=[4, 8], kernel_size=3),
+            RNN(output_size=2, hidden_size=16, num_layers=1),
+            RNN(output_size=2, hidden_size=8, num_layers=1,
+                share_input_weights=True),
+            CNNRNN(output_size=2, layer_sizes=[4], n_hidden=16),
+            CCCNN(output_size=2, channels=4, layer_sizes=[3, 3],
+                  kernel_sizes=5),
+            CCCNN(output_size=2, channels=4, layer_sizes=[3],
+                  kernel_sizes=5, group=True),
+        ],
+        ids=["cnn", "rnn", "rnn_shared", "cnnrnn", "cccnn", "cccnn_group"],
+    )
+    def test_forward(self, model):
+        x, _ = _data(8)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                               train=False)
+        out = model.apply(variables, jnp.asarray(x), train=False)
+        assert out.shape == (8, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_fcnn_l2(self):
+        m = FCNN(output_size=2, hidden_layers=[8], l2_reg=0.1,
+                 batch_norm=False)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)), train=False)
+        assert float(m.l2_loss(v["params"])) > 0
+
+
+class TestPairedXcorr:
+    def test_matches_numpy_correlate(self, rng):
+        b, c, k, v = 2, 3, 4, 16
+        x = rng.normal(size=(b, c * k, v)).astype(np.float32)
+        out = np.asarray(paired_xcorr(jnp.asarray(x), c, k))
+        assert out.shape == (b, c - 1, 2 * v - 1)
+        xr = x.reshape(b, c, k, v)
+        for bi in range(b):
+            for ci in range(c - 1):
+                ref = np.mean(
+                    [
+                        np.correlate(xr[bi, ci, ki], xr[bi, ci + 1, ki],
+                                     "full")
+                        for ki in range(k)
+                    ],
+                    axis=0,
+                )
+                np.testing.assert_allclose(out[bi, ci], ref, atol=1e-4)
+
+
+class TestTrainer:
+    def test_full_batch_training_converges(self):
+        x, y = _data(64, 3, 32)
+        model = CNN(output_size=2, layer_sizes=[8], kernel_size=3,
+                    dropout_rate=0.0)
+        cfg = TrainConfig(lr=3e-3, num_epochs=300, patience=300, loss="l1")
+        trainer = Trainer(model, cfg)
+        state = trainer.fit((x, y))
+        losses = trainer.history["train_loss"]
+        assert losses[-1] < losses[0] * 0.7
+        assert trainer.test(state, (x, y)) < losses[0]
+
+    def test_minibatch_and_val(self):
+        x, y = _data(64, 3, 32)
+        cfg = TrainConfig(lr=1e-3, num_epochs=20, patience=20,
+                          batch_size=16)
+        trainer = Trainer(CNN(output_size=2, layer_sizes=[4]), cfg)
+        state = trainer.fit((x[:48], y[:48]), (x[48:], y[48:]))
+        assert len(trainer.history["val_loss"]) > 0
+        pred = trainer.predict(state, x[:4])
+        assert pred.shape == (4, 2)
+
+    def test_early_stopping(self):
+        x, y = _data(16, 2, 16)
+        cfg = TrainConfig(lr=0.0, num_epochs=500, patience=5, eps=1e-12)
+        trainer = Trainer(CNN(output_size=2, layer_sizes=[4]), cfg)
+        trainer.fit((x, y))
+        # zero lr → no improvement → stops after ~patience epochs
+        assert len(trainer.history["train_loss"]) < 50
+
+    def test_sgd_momentum_optimizer(self):
+        tx = make_optimizer("sgd", 1e-2, weight_decay=1e-3, grad_clip=1.0)
+        params = {"w": jnp.ones(3)}
+        st = tx.init(params)
+        upd, _ = tx.update({"w": jnp.ones(3)}, st, params)
+        assert np.isfinite(np.asarray(upd["w"])).all()
+
+
+class TestHPO:
+    def test_study_finds_minimum(self):
+        study = Study(seed=0)
+
+        def objective(trial):
+            x = trial.suggest_float("x", -4, 4)
+            k = trial.suggest_int("k", 1, 3)
+            return (x - 1) ** 2 + 0.1 * k
+
+        study.optimize(objective, n_trials=40)
+        assert abs(study.best_params["x"] - 1) < 1.0
+        assert study.best_value < 1.5
+
+    def test_pruning(self):
+        study = Study(seed=0, n_startup_trials=1)
+
+        def objective(trial):
+            base = trial.suggest_float("b", 0, 1)
+            for step in range(5):
+                trial.report(base + step * 0.0, step)
+                if trial.should_prune():
+                    raise TrialPruned()
+            return base
+
+        study.optimize(objective, n_trials=10)
+        states = [t.state for t in study.results]
+        assert "pruned" in states and "complete" in states
+        assert study.best_value == min(
+            t.value for t in study.results if t.value is not None
+        )
+
+    def test_catch(self):
+        study = Study(seed=0)
+
+        def objective(trial):
+            raise RuntimeError("boom")
+
+        study.optimize(objective, n_trials=2, catch=(RuntimeError,))
+        assert all(t.state == "failed" for t in study.results)

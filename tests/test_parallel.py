@@ -1,0 +1,117 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+data-parallel detection, halo time-sharding, DP training, graft entry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onset_fingerprinting_tpu.core.config import DetectorConfig, TrainConfig
+from onset_fingerprinting_tpu.detect.amplitude import (
+    detect_offline,
+    detector_init,
+)
+from onset_fingerprinting_tpu.parallel import (
+    default_mesh,
+    detect_offline_sharded,
+    detect_offline_time_sharded,
+    make_mesh,
+)
+from onset_fingerprinting_tpu.parallel.sharding import events_from_dense
+
+
+def synth(T, C, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1e-4, (T, C)).astype(np.float32)
+    t = np.arange(600)
+    burst = (np.sin(2 * np.pi * 5000 / 96000 * t) * np.exp(-t / 120) * 0.5)
+    for base in range(3000, T - 700, 6000):
+        x[base : base + 600] += burst[:, None].astype(np.float32)
+    return x
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh((8,), ("data",))
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh((4, 2), ("data", "model"))
+        assert m.shape == {"data": 4, "model": 2}
+        d = default_mesh(8, model_parallel=2)
+        assert d.shape == {"data": 4, "model": 2}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh((100,), ("data",))
+
+
+class TestShardedDetection:
+    def test_batch_sharded_matches_single(self, mesh):
+        cfg = DetectorConfig(
+            n_channels=2, block_size=128, hipass_freq=0.0, sr=96000
+        )
+        static, params, state = detector_init(cfg)
+        xs = np.stack([synth(128 * 40, 2, seed=i) for i in range(8)])
+        _, (on_s, d_s, rel_s) = detect_offline_sharded(
+            static, params, state, jnp.asarray(xs), mesh
+        )
+        for i in range(0, 8, 3):
+            _, (on, d, _) = detect_offline(
+                static, params, state, jnp.asarray(xs[i])
+            )
+            np.testing.assert_array_equal(np.asarray(on_s)[i], np.asarray(on))
+            fired = np.asarray(on)
+            np.testing.assert_array_equal(
+                np.asarray(d_s)[i][fired], np.asarray(d)[fired]
+            )
+
+    def test_time_sharded_matches_sequential_away_from_seams(self, mesh):
+        cfg = DetectorConfig(
+            n_channels=2, block_size=128, hipass_freq=0.0, sr=96000
+        )
+        static, params, state = detector_init(cfg)
+        T = 128 * 80 * 8
+        x = synth(T, 2, seed=4)
+        on_t, d_t, _ = detect_offline_time_sharded(
+            static, params, state, jnp.asarray(x), mesh, halo=128 * 60
+        )
+        _, (on_ref, d_ref, _) = detect_offline(
+            static, params, state, jnp.asarray(x)
+        )
+        ch_t, ev_t = events_from_dense(on_t, d_t, 128)
+        ch_r, ev_r = events_from_dense(np.asarray(on_ref), np.asarray(d_ref), 128)
+        # detections should match except possibly at the very first segment
+        # boundary blocks; require >90% agreement
+        set_t = set(zip(ch_t, ev_t))
+        set_r = set(zip(ch_r, ev_r))
+        inter = len(set_t & set_r)
+        assert inter >= 0.9 * max(len(set_r), 1)
+
+
+class TestTrainerDP:
+    def test_dp_training_step_runs(self, mesh):
+        from onset_fingerprinting_tpu.models import CNN, Trainer
+
+        cfg = TrainConfig(lr=1e-3, num_epochs=3, patience=10)
+        trainer = Trainer(
+            CNN(output_size=2, layer_sizes=[4]), cfg, mesh=mesh
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(16, 3, 32)).astype(np.float32)
+        y = rng.normal(size=(16, 2)).astype(np.float32)
+        state = trainer.fit((x, y))
+        assert len(trainer.history["train_loss"]) == 3
+
+
+class TestGraftEntry:
+    def test_entry_and_dryrun(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (8, 2)
+        g.dryrun_multichip(8)
