@@ -1,0 +1,120 @@
+"""End-to-end calibration pipeline demo.
+
+Simulates the reference's calibration workflow (SURVEY.md §3.3): hits around
+the drum's lugs with known TDOA → TNC sensor-position calibration →
+gradient joint refinement (positions + sound xy + C) → FCNN location model
+training → setup persisted with ``save_setup`` → reloaded and used for
+locator inference.
+
+Run: python examples/calibration_demo.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from onset_fingerprinting_tpu.core.coords import spherical_to_cartesian
+    from onset_fingerprinting_tpu.locate import (
+        calibrate,
+        calibration_locations,
+        optimize_positions,
+        train_location_model,
+    )
+    from onset_fingerprinting_tpu.realtime import load_setup, save_setup
+
+    sr = 96000
+    c_sound = 343.0
+    radius = 14 * 2.54 / 2 / 100  # meters
+    rng = np.random.default_rng(0)
+
+    true_sensors = np.array(
+        [
+            tuple(map(float, spherical_to_cartesian(*p)))
+            for p in [(0.8 * radius, 135, 80), (0.8 * radius, 15, 60),
+                      (0.15, 100, 20)]
+        ]
+    )
+    sounds = np.asarray(
+        [(0.0, 0.0, 0.0)] * 4
+        + [
+            tuple(map(float, spherical_to_cartesian(*p)))
+            for p in calibration_locations(10, 4, radius * 0.9, 0)
+        ]
+    )
+    dists = np.linalg.norm(
+        sounds[:, None, :] - true_sensors[None, :, :], axis=-1
+    ) / c_sound
+    tdoa = np.diff(dists, axis=1)
+    onsets_like = np.cumsum(
+        np.concatenate([np.zeros((len(tdoa), 1)), tdoa * sr], axis=1), axis=1
+    )
+
+    print("stage 1: TNC calibration from onset matrix …")
+    est = calibrate(onsets_like, sr=sr, C=c_sound, n_lugs=10, n_each=4,
+                    hits_at=0.9, center_hits=4, norm=2)
+    d_est = np.linalg.norm(sounds[:, None, :] - est[None, :, :],
+                           axis=-1) / c_sound
+    resid = np.abs(np.diff(d_est, axis=1) - tdoa)
+    print(f"  TDOA residual: mean {resid.mean()*1e6:.2f} µs "
+          f"({resid.mean()*sr:.2f} samples)")
+
+    print("stage 2: gradient joint refinement (positions + sounds + C) …")
+    lags01 = (dists[:, :2] - dists[:, 2:]) * sr  # observed lag pairs
+    sens2, sounds2, c2 = optimize_positions(
+        lags01, est + rng.normal(0, 0.002, est.shape), sounds,
+        lr=0.05, num_epochs=800, C=c_sound, sr=sr, patience=50,
+    )
+    print(f"  refined C: {c2:.2f} m/s (true {c_sound})")
+
+    print("stage 3: FCNN location model on lag pairs …")
+    lags = (dists[:, 1:] - dists[:, :1]) * sr
+    model, errors = train_location_model(
+        lags, sounds, lr=0.01, num_epochs=3000, patience=500,
+        hidden_layers=[32, 32], batch_norm=True,
+    )
+    import jax.numpy as jnp
+
+    preds = np.asarray(model(jnp.asarray(lags, jnp.float32)))
+    err_mm = np.linalg.norm(preds - sounds[:, :2], axis=1).mean() * 1000
+    print(f"  FCNN mean location error: {err_mm:.2f} mm "
+          f"(reference best ≈ 2.6 mm, refresh.org:1687-1726)")
+
+    print("stage 4: persist + reload setup …")
+    with tempfile.TemporaryDirectory() as td:
+        save_setup(
+            [[0.8, 135, 80], [0.8, 15, 60], [0.5, 100, 20]],
+            "air", c_sound, model,
+            {"output_size": 2, "hidden_layers": [32, 32],
+             "batch_norm": True, "input_size": 2},
+            td,
+        )
+        conf, model2 = load_setup(Path(td))
+        p1 = model.call_np(tuple(lags[5]))
+        p2 = model2.call_np(tuple(lags[5]))
+        assert np.allclose(p1, p2, atol=1e-6), "reloaded model differs"
+        print(f"  reloaded model matches: pred {p2}")
+
+    ok = resid.mean() * sr < 2.0 and err_mm < 10.0
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hits", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     audio, sensor_polar, truths, sr, diameter = synth_drum(
         args.hits, seed=args.seed

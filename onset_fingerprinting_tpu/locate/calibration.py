@@ -389,12 +389,17 @@ def train_location_model(
     """
     from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
 
+    from onset_fingerprinting_tpu.models.train import cosine_warm_restarts
+
     x = jnp.asarray(observed_lags, jnp.float32)
     y = jnp.asarray(sound_positions, jnp.float32)[:, :2]
     model = FCNN(output_size=2, **fcnn_kwargs)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
-    schedule = optax.cosine_decay_schedule(lr, max(num_epochs // 10, 1))
+    # torch CosineAnnealingLR(T_max=epochs/10) oscillates past T_max — the
+    # reference relies on that cycling (calibration.py:723-725); use explicit
+    # warm restarts with the same period.
+    schedule = cosine_warm_restarts(lr, max(num_epochs // 10, 1))
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
     opt_state = tx.init(variables["params"])
 
@@ -424,12 +429,17 @@ def train_location_model(
     counter = 0
     errors = []
     for epoch in range(num_epochs):
+        # ``loss`` is evaluated at the *pre-update* (p, bs): track the best
+        # state with those, not the post-update ones (an off-by-one here
+        # returns params one — possibly huge, at a warm-restart LR spike —
+        # step past the optimum).
+        p_prev, bs_prev = p, bs
         p, bs, opt_state, loss = step(p, bs, opt_state)
         loss = float(loss)
         errors.append(loss)
         if loss < last_loss - eps:
             last_loss = loss
-            best = (p, bs)
+            best = (p_prev, bs)
             counter = 0
         elif counter < patience:
             counter += 1
