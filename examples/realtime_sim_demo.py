@@ -22,6 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from onset_fingerprinting_tpu.core.config import DetectorConfig
 from onset_fingerprinting_tpu.core.coords import (
     speed_of_sound,
@@ -69,6 +74,7 @@ def synth_stream(seconds: float, seed: int = 0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
     audio, polar, hits = synth_stream(args.seconds)

@@ -64,6 +64,34 @@ def parse_hits(hits: dict | list):
     return pd.DataFrame(d)
 
 
+def load_instruments(path: str | Path) -> dict:
+    """Load the dataset-level ``instruments.json`` declaring per-instrument
+    zones and condition vocabularies (dataset_spec_draft.org:86-155).
+
+    Shape: ``{"<instrument>": {"zones": [...], "conditions": {name: [...]}}}``
+    """
+    return read_json(Path(path) / "instruments.json")
+
+
+def validate_hits(hits: list[dict], instrument: dict) -> list[str]:
+    """Check hit zones/conditions against an instrument declaration;
+    returns a list of human-readable violations (empty = valid)."""
+    problems = []
+    zones = set(instrument.get("zones", []))
+    conds = instrument.get("conditions", {})
+    for i, h in enumerate(hits):
+        if zones and "zone" in h and h["zone"] not in zones:
+            problems.append(f"hit {i}: unknown zone {h['zone']!r}")
+        for name, value in (h.get("conditions") or {}).items():
+            if name not in conds:
+                problems.append(f"hit {i}: unknown condition {name!r}")
+            elif conds[name] and value not in conds[name]:
+                problems.append(
+                    f"hit {i}: condition {name}={value!r} not in vocabulary"
+                )
+    return problems
+
+
 def find_sessions(path: str | Path) -> list[Path]:
     """Recursively find session JSON files (those with a ``meta`` key),
     mirroring data.py:385-393."""

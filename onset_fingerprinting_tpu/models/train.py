@@ -72,9 +72,18 @@ def make_optimizer(
     return optax.chain(*chain)
 
 
+def _xent(logits, labels):
+    """Softmax cross-entropy with integer labels (zone classification)."""
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(
+        jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)
+    )
+
+
 LOSSES: dict[str, Callable] = {
     "l1": lambda out, y: jnp.mean(jnp.abs(out - y)),
     "mse": lambda out, y: jnp.mean((out - y) ** 2),
+    "xent": _xent,
 }
 
 
@@ -242,6 +251,14 @@ class Trainer:
         x, y = jnp.asarray(test_data[0]), jnp.asarray(test_data[1])
         out, _ = self._apply(state.params, state.batch_stats, x, False)
         return float(jnp.mean(jnp.abs(out - y)))
+
+    def accuracy(
+        self, state: TrainState, data: tuple[np.ndarray, np.ndarray]
+    ) -> float:
+        """Classification accuracy (for zone classifiers on POSD)."""
+        x, y = jnp.asarray(data[0]), np.asarray(data[1])
+        out, _ = self._apply(state.params, state.batch_stats, x, False)
+        return float((np.asarray(out).argmax(axis=1) == y).mean())
 
     def predict(self, state: TrainState, x: np.ndarray) -> np.ndarray:
         out, _ = self._apply(

@@ -203,3 +203,22 @@ def streaming_cc_update(
     buf_b = jnp.concatenate([state.buf_b[..., b:], block_b.astype(jnp.float32)], axis=-1)
     cc = batch_full_correlate(buf_a, buf_b)
     return StreamingCC(buf_a, buf_b), cc
+
+
+@jax.jit
+def streaming_cc_scan(
+    state: StreamingCC, blocks_a: jnp.ndarray, blocks_b: jnp.ndarray
+) -> tuple[StreamingCC, jnp.ndarray]:
+    """Run many streaming-CC updates in ONE device program.
+
+    ``blocks_*`` have shape ``[nb, ..., block]`` (leading scan axis);
+    returns ``(state, ccs [nb, ..., 2n-1])`` — per-block full CCs, i.e. the
+    whole offline sweep the reference harness loops over (c/test.py:36-38)
+    fused into a single dispatch.
+    """
+
+    def step(st, ab):
+        st, cc = streaming_cc_update(st, ab[0], ab[1])
+        return st, cc
+
+    return jax.lax.scan(step, state, (blocks_a, blocks_b))

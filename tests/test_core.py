@@ -159,3 +159,26 @@ class TestPOSD:
         )
         assert list(df.columns is not None and df["stick"]) == ["wood", "nylon"]
         assert len(df) == 2
+
+
+class TestInstruments:
+    def test_load_and_validate(self, tmp_path):
+        posd.write_json(
+            {"snare": {"zones": ["center", "edge"],
+                       "conditions": {"stick": ["wood", "nylon"]}}},
+            tmp_path / "instruments.json",
+        )
+        inst = posd.load_instruments(tmp_path)["snare"]
+        hits = [
+            {"onset_start": 10, "zone": "center",
+             "conditions": {"stick": "wood"}},
+            {"onset_start": 20, "zone": "rim"},
+            {"onset_start": 30, "zone": "edge",
+             "conditions": {"grip": "x", "stick": "steel"}},
+        ]
+        problems = posd.validate_hits(hits, inst)
+        assert len(problems) == 3
+        assert any("rim" in p for p in problems)
+        assert any("grip" in p for p in problems)
+        assert any("steel" in p for p in problems)
+        assert posd.validate_hits(hits[:1], inst) == []

@@ -157,3 +157,33 @@ class TestHPO:
 
         study.optimize(objective, n_trials=2, catch=(RuntimeError,))
         assert all(t.state == "failed" for t in study.results)
+
+
+class TestClassification:
+    def test_zone_classifier_trains(self):
+        """Classification pillar: CNN zone classifier with cross-entropy
+        (the reference's POSD use case, data.py:330, model.py:52)."""
+        rng = np.random.default_rng(0)
+        n_per, w = 40, 64
+        # two zones with distinct spectral content
+        t = np.arange(w)
+        x0 = (np.sin(2 * np.pi * 0.05 * t)[None]
+              + 0.2 * rng.normal(size=(n_per, w)))
+        x1 = (np.sin(2 * np.pi * 0.25 * t)[None]
+              + 0.2 * rng.normal(size=(n_per, w)))
+        x = np.concatenate([x0, x1]).astype(np.float32)[:, None, :]
+        y = np.array([0] * n_per + [1] * n_per)
+        idx = rng.permutation(len(x))
+        x, y = x[idx], y[idx]
+
+        from onset_fingerprinting_tpu.core.config import TrainConfig
+        from onset_fingerprinting_tpu.models import CNN, Trainer
+
+        trainer = Trainer(
+            CNN(output_size=2, layer_sizes=[8], kernel_size=5,
+                dropout_rate=0.0),
+            TrainConfig(lr=3e-3, num_epochs=150, patience=150, loss="xent"),
+        )
+        state = trainer.fit((x[:60], y[:60]))
+        acc = trainer.accuracy(state, (x[60:], y[60:]))
+        assert acc > 0.9
