@@ -185,3 +185,22 @@ class TestPOSD:
         sub = ds.query("zone == 'edge'")
         assert len(sub) == 6
         assert (sub.labels["zone"] == "edge").all()
+
+
+class TestPOSDFromAudioOnsets:
+    def test_in_memory_constructor(self, rng):
+        audios = [rng.normal(0, 1e-3, 12000).astype(np.float32)
+                  for _ in range(2)]
+        onsets = [[1000, 4000, 7000], [2000, 6000]]
+        for a, os_ in zip(audios, onsets):
+            for o in os_:
+                a[o : o + 200] += 0.3 * np.hanning(200).astype(np.float32)
+        ds = POSD.from_audio_onsets(
+            audios, onsets, sr=96000, frame_length=128,
+            zone_names=["center", "edge"], n_rounds_aug=1,
+        )
+        # 5 hits × (1 raw + 1 extractor × 1 round) = 10
+        assert len(ds) == 10
+        assert set(ds.labels["zone"]) == {"center", "edge"}
+        x, lbl = ds[3]
+        assert x.shape == (128,)

@@ -335,3 +335,17 @@ class TestRefine:
         # onsets (100, 115), true lag 10 → lag_diff = 5
         ca, cb = adjust_onset([100, 115], x, y, 10)
         assert (ca, cb) in [(5, 0), (0, -5)]
+
+
+class TestAdjustOnsetRel:
+    def test_moves_toward_higher_envelope(self):
+        from onset_fingerprinting_tpu.detect import adjust_onset_rel
+
+        relx = np.zeros(200)
+        rely = np.zeros(200)
+        relx[95:] = 1.0  # x's envelope rises at 95
+        rely[110:] = 1.0
+        # detected (100, 110); CC says lag should be 15 → lag_diff = -5
+        oa, ob = adjust_onset_rel([100, 110], relx, rely, 15)
+        assert (oa, ob) in [(95, 110), (100, 115)]
+        assert (ob - oa) == 15

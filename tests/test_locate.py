@@ -374,3 +374,41 @@ class TestCalibration:
         assert pred.shape == (2,)
         preds = np.asarray(model(jnp.asarray(lags, jnp.float32)))
         assert np.mean(np.abs(preds - sounds[:, :2])) < 0.05
+
+
+class TestCCRefinement:
+    def test_locate_with_rec_audio_refines_jittered_onsets(self):
+        """The locator's live-buffer CC refinement path
+        (multilateration.py:457-501): feed onsets that are a few samples off
+        and provide ring audio; refinement should still produce an accurate
+        location."""
+        from onset_fingerprinting_tpu.core.ring_buffer import CircularArray
+
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        c = speed_of_sound(100, medium="drumhead")
+        rng = np.random.default_rng(1)
+        x, y = 5.0, -3.0
+        n = 8000
+        audio = rng.normal(0, 1e-5, (n, 3))
+        t = np.arange(500)
+        burst = np.sin(2 * np.pi * 4000 / SR * t) * np.exp(-t / 120)
+        base = 3000
+        true_onsets = []
+        for ch, (sx, sy, _) in enumerate(xyz):
+            d = np.hypot(x - sx, y - sy)
+            onset = base + int(round(d / c * SR))
+            audio[onset : onset + 500, ch] += burst
+            true_onsets.append(onset)
+        ring = CircularArray(np.zeros((n, 3), dtype=np.float32))
+        ring.write(audio.astype(np.float32))
+
+        jitter = [0, 4, -3]
+        res = None
+        order = np.argsort(true_onsets)
+        for i in order:
+            res = m.locate(int(i), true_onsets[i] + jitter[i], ring) or res
+        assert res is not None
+        assert np.hypot(res[0] - x, res[1] - y) < 2.5
