@@ -15,7 +15,7 @@ lag-map locator.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -54,6 +54,7 @@ class _ConvStack(nn.Module):
     batch_norm: bool
     pool: bool
     activation: str
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -68,6 +69,7 @@ class _ConvStack(nn.Module):
                 strides=(stride,),
                 padding=self.padding,
                 kernel_dilation=(self.dilation,),
+                dtype=self.dtype,
             )(x)
             x = act(x)
             if self.batch_norm:
@@ -91,6 +93,8 @@ class CCCNN(nn.Module):
     dilation: int = 1
     group: bool = False
     activation: str = "silu"
+    #: compute dtype for convs/dense (params stay f32); bf16 targets the MXU
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -115,6 +119,7 @@ class CCCNN(nn.Module):
             batch_norm=self.batch_norm,
             pool=self.pool,
             activation=self.activation,
+            dtype=self.dtype,
         )
         if self.group:
             # independent weights per channel: vmap the stack over channels
@@ -133,7 +138,9 @@ class CCCNN(nn.Module):
         feats = jnp.swapaxes(feats, 2, 3)  # [B, C, K, V]
 
         # self cross-correlation of every feature map, summed over maps —
-        # one batched FFT instead of a B*C*K-group conv (model.py:527-533)
+        # one batched FFT instead of a B*C*K-group conv (model.py:527-533).
+        # FFT runs in f32 regardless of compute dtype.
+        feats = feats.astype(jnp.float32)
         cc = batch_full_correlate(feats, feats).sum(axis=2)  # [B, C, 2V-1]
         probs = nn.softmax(cc, axis=-1)
         probs = probs.reshape(b, -1)

@@ -8,7 +8,7 @@ the reference layout ``[B, C, L]`` (channels = sensors).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -27,6 +27,9 @@ class CNN(nn.Module):
     dilation: int = 1
     groups: int = 1
     activation: str = "silu"
+    #: compute dtype for conv/dense (params stay f32); bfloat16 targets the
+    #: MXU on TPU
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -39,6 +42,7 @@ class CNN(nn.Module):
                 padding=self.padding,
                 kernel_dilation=(self.dilation,),
                 feature_group_count=self.groups,
+                dtype=self.dtype,
             )(x)
             x = act(x)
             if self.batch_norm:
@@ -47,4 +51,5 @@ class CNN(nn.Module):
                 x = nn.max_pool(x, window_shape=(2,), strides=(2,))
         x = x.reshape(x.shape[0], -1)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        return nn.Dense(self.output_size)(x)
+        out = nn.Dense(self.output_size, dtype=self.dtype)(x)
+        return out.astype(jnp.float32)

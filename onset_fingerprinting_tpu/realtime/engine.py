@@ -178,6 +178,7 @@ class RealtimeEngine:
         monitor_channels: int = 2,
         host_ring: Optional[CircularArray] = None,
         use_pallas: bool = False,
+        metrics=None,
     ):
         self.cfg = cfg
         self.locator = locator
@@ -190,6 +191,9 @@ class RealtimeEngine:
         self.host_ring = host_ring
         self.current_index = 0
         self.callback_time: Optional[tuple[float, int]] = None
+        #: optional utils.metrics.Metrics — records per-block device latency
+        #: ('engine.step' ms) and hit counters
+        self.metrics = metrics
 
     def warmup(self, audio: np.ndarray) -> None:
         """Prime detector envelopes/thresholds on calibration audio."""
@@ -209,10 +213,17 @@ class RealtimeEngine:
         self.callback_time = (time.monotonic(), self.current_index)
         if self.host_ring is not None:
             self.host_ring.write(block)
+        t0 = time.perf_counter()
         self.state, events = self._step(
             self.state, jnp.asarray(block, jnp.float32), self.params
         )
         emits = np.asarray(events.emits)
+        if self.metrics is not None:
+            self.metrics.observe(
+                "engine.step", (time.perf_counter() - t0) * 1e3
+            )
+            self.metrics.count("engine.blocks")
+            self.metrics.count("engine.hits", float(emits.sum()))
         locations: list[Location] = []
         if emits.any():
             pts = np.asarray(events.points)

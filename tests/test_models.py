@@ -187,3 +187,21 @@ class TestClassification:
         state = trainer.fit((x[:60], y[:60]))
         acc = trainer.accuracy(state, (x[60:], y[60:]))
         assert acc > 0.9
+
+
+class TestBfloat16:
+    def test_bf16_compute_forward(self):
+        """bfloat16 compute dtype (MXU-targeted) with f32 params/outputs."""
+        x, _ = _data(8)
+        for model in (
+            CNN(output_size=2, layer_sizes=[4], dtype=jnp.bfloat16),
+            CCCNN(output_size=2, channels=4, layer_sizes=[3],
+                  kernel_sizes=5, dtype=jnp.bfloat16),
+        ):
+            v = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+            # params stay f32
+            leaf = jax.tree.leaves(v["params"])[0]
+            assert leaf.dtype == jnp.float32
+            out = model.apply(v, jnp.asarray(x), train=False)
+            assert out.dtype == jnp.float32
+            assert np.isfinite(np.asarray(out)).all()

@@ -242,3 +242,17 @@ class TestSetupIO:
         save_setup([[0.9, 0, 0]], "air", None, None, None, tmp_path)
         conf, model = load_setup(tmp_path)
         assert model is None and conf["c"] is None
+
+
+class TestEngineMetrics:
+    def test_metrics_recorded(self):
+        from onset_fingerprinting_tpu.utils.metrics import Metrics
+
+        cfg, locator, _ = _make_engine()
+        m = Metrics()
+        eng = RealtimeEngine(cfg, locator, metrics=m)
+        for _ in range(3):
+            eng.process(np.zeros((128, 3), np.float32))
+        s = m.summary()
+        assert s["counters"]["engine.blocks"] == 3
+        assert s["latency"]["engine.step"]["count"] == 3
