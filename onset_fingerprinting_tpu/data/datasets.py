@@ -163,7 +163,12 @@ class POSD:
         ]
         self.frame_length = frame_length
         self.pre_samples = pre_samples
-        self.frame_extractor = FrameExtractor(frame_length, pre_samples)
+        # add_pre_samples=True so rows really are frame_length + pre_samples
+        # wide (the reference allocates that width but extracts frame_length
+        # when pre_samples > 0 — a latent shape defect, data.py:421-427)
+        self.frame_extractor = FrameExtractor(
+            frame_length, pre_samples, add_pre_samples=True
+        )
         self.extra_extractors = [self.frame_extractor] + list(extra_extractors)
         self.augmentations = augmentations
         self.n_rounds_aug = n_rounds_aug
@@ -233,7 +238,9 @@ class POSD:
         ds = cls.__new__(cls)
         ds.frame_length = frame_length
         ds.pre_samples = pre_samples
-        ds.frame_extractor = FrameExtractor(frame_length, pre_samples)
+        ds.frame_extractor = FrameExtractor(
+            frame_length, pre_samples, add_pre_samples=True
+        )
         ds.extra_extractors = [ds.frame_extractor] + list(extra_extractors)
         ds.augmentations = augmentations
         ds.n_rounds_aug = n_rounds_aug
