@@ -74,6 +74,8 @@ def detect_offline_time_sharded(
     mesh: Mesh,
     halo: Optional[int] = None,
     axis: str = "data",
+    backend: str = "scan",
+    interpret: bool = False,
 ):
     """Detect over ONE long recording ``[T, C]`` sharded by time with a
     warm-up halo.  Returns dense per-block (on, deltas) covering the full
@@ -109,15 +111,46 @@ def detect_offline_time_sharded(
         lambda a: jnp.broadcast_to(a, (n_dev,) + a.shape), state
     )
 
-    @jax.jit
-    def run(bs, xb):
-        _, (on, deltas, rel) = jax.vmap(
-            lambda st, xi: detect_offline(static, params, st, xi)
-        )(bs, xb)
-        skip = halo // bsz
-        return on[:, skip:], deltas[:, skip:], rel[:, halo:]
+    if backend == "pallas":
+        # shard_map: each device runs the fused kernel on its local segment
+        from jax import shard_map
 
-    on, deltas, rel = run(bstate, xs)
+        from onset_fingerprinting_tpu.ops.pallas_detector import (
+            pallas_detect_offline,
+            pallas_static,
+        )
+
+        pstatic = pallas_static(static, params)
+
+        def per_shard(xb):  # [1, halo+seg, C] local slice
+            _, (on, deltas, rel) = pallas_detect_offline(
+                pstatic, params, state, xb[0], interpret
+            )
+            skip = halo // bsz
+            return on[None, skip:], deltas[None, skip:], rel[None, halo:]
+
+        run = jax.jit(
+            shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=P(axis),
+                out_specs=P(axis),
+                # pallas_call out_shapes carry no varying-mesh-axis info
+                check_vma=False,
+            )
+        )
+        on, deltas, rel = run(xs)
+    else:
+
+        @jax.jit
+        def run(bs, xb):
+            _, (on, deltas, rel) = jax.vmap(
+                lambda st, xi: detect_offline(static, params, st, xi)
+            )(bs, xb)
+            skip = halo // bsz
+            return on[:, skip:], deltas[:, skip:], rel[:, halo:]
+
+        on, deltas, rel = run(bstate, xs)
     # stitch shards back to the global timeline
     on = on.reshape(-1, c)
     deltas = deltas.reshape(-1, c)

@@ -115,3 +115,27 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert out.shape == (8, 2)
         g.dryrun_multichip(8)
+
+
+class TestPallasTimeSharded:
+    def test_kernel_under_shard_map_matches(self, mesh):
+        """The fused Pallas detector under shard_map halo time-sharding must
+        reproduce the sequential scan detector's events."""
+        cfg = DetectorConfig(
+            n_channels=2, block_size=128, hipass_freq=0.0, sr=96000
+        )
+        static, params, state = detector_init(cfg)
+        T = 128 * 80 * 8
+        x = synth(T, 2, seed=4)
+        on_t, d_t, _ = detect_offline_time_sharded(
+            static, params, state, jnp.asarray(x), mesh, halo=128 * 60,
+            backend="pallas", interpret=True,
+        )
+        _, (on_r, d_r, _) = detect_offline(
+            static, params, state, jnp.asarray(x)
+        )
+        set_t = set(zip(*events_from_dense(on_t, d_t, 128)))
+        set_r = set(zip(*events_from_dense(
+            np.asarray(on_r), np.asarray(d_r), 128)))
+        assert set_t == set_r
+        assert len(set_r) > 0
