@@ -61,7 +61,10 @@ def main() -> int:
         x[base : base + 600] += burst[:, None]
 
     cfg = DetectorConfig(
-        n_channels=c, block_size=128, hipass_freq=2000.0, sr=sr
+        n_channels=c, block_size=128, hipass_freq=2000.0, sr=sr,
+        # independent streams must not couple through the reference's
+        # cross-channel off-gate quirk
+        coupled_off_gate=False,
     )
 
     def run_pallas():

@@ -43,6 +43,9 @@ class DetectorConfig:
     minmax_alpha_max: float = 1e-5
     minmax_floor: float = 2.0
     sr: int = 96000
+    #: keep the reference's cross-channel off-gate quirk (detection.py:790);
+    #: set False when batching independent streams as channels
+    coupled_off_gate: bool = True
 
 
 @dataclass

@@ -69,6 +69,12 @@ class _Static:
     alpha_min: float
     alpha_max: float
     minmin: float
+    #: reference quirk (detection.py:790): the off-threshold check ignores
+    #: rows before the block's *global* (cross-channel) first-onset index.
+    #: True = exact reference parity for one multi-sensor recording.
+    #: False = per-channel gating — required when batching independent
+    #: streams as extra channels, so streams don't couple.
+    coupled_off: bool = True
 
 
 class DetectorParams(NamedTuple):
@@ -100,6 +106,7 @@ def _make_static(cfg: DetectorConfig) -> _Static:
         alpha_min=float(cfg.minmax_alpha_min),
         alpha_max=float(cfg.minmax_alpha_max),
         minmin=float(cfg.minmax_floor),
+        coupled_off=cfg.coupled_off_gate,
     )
 
 
@@ -281,10 +288,13 @@ def detect_block(
     debounce = jnp.where(debounce > 0, debounce - bsz, debounce)
 
     crossed_off = rel < off_th
-    # Reference quirk kept: rows before the *global* max on-index are ignored
-    # for the off-crossing check (detection.py:790).
     row = jnp.arange(bsz)[:, None]
-    crossed_off &= row >= jnp.max(on_idx)
+    if static.coupled_off:
+        # Reference quirk kept: rows before the *global* max on-index are
+        # ignored for the off-crossing check (detection.py:790).
+        crossed_off &= row >= jnp.max(on_idx)
+    else:
+        crossed_off &= row >= on_idx[None, :]
     gate = jnp.where(jnp.any(crossed_off, axis=0), False, gate)
 
     deltas = on_idx

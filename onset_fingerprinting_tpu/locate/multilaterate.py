@@ -569,13 +569,13 @@ def make_locate_update(m: Multilaterate3D, capacity: int = 8):
         keep = alive & ~(emit & same_seed)
         new_count = jnp.where(keep, new_count, 0)
 
-        # insert the fresh single-member group into the stalest free slot
+        # insert the fresh single-member group: prefer a free slot, else
+        # evict the oldest active group (smallest age)
         free = new_count == 0
-        evict_score = jnp.where(free, -state.age, jnp.iinfo(jnp.int32).max)
+        big = jnp.int32(1 << 24)
+        evict_score = jnp.where(free, state.age - big, state.age)
         ins = jnp.argmin(evict_score)
-        new_sensors = new_sensors.at[ins].set(
-            jnp.array([1, 1, 1], jnp.int32) * -1
-        )
+        new_sensors = new_sensors.at[ins].set(jnp.full((3,), -1, jnp.int32))
         new_sensors = new_sensors.at[ins, 0].set(sensor)
         new_onsets = new_onsets.at[ins, 0].set(onset)
         new_count = new_count.at[ins].set(1)

@@ -66,6 +66,7 @@ class PallasDetectorStatic(NamedTuple):
     minmin: float
     iir_b: tuple  # 5 floats; identity filter when hipass is off
     iir_a: tuple
+    coupled_off: bool = True
 
 
 def _round_up(n: int, m: int) -> int:
@@ -196,7 +197,12 @@ def _detector_kernel(
     deb = jnp.where(on_f > 0, jnp.float32(static.cooldown), deb)
     deb = jnp.where(deb > 0, deb - bsz, deb)
 
-    off_mask = mask(rel < off_th[None]) * mask(row >= jnp.max(on_idx))
+    if static.coupled_off:
+        # cross-channel quirk (detection.py:790) for exact reference parity
+        off_row_ok = mask(row >= jnp.max(on_idx))
+    else:
+        off_row_ok = mask(row >= on_idx[None])
+    off_mask = mask(rel < off_th[None]) * off_row_ok
     gate = gate * (one - jnp.max(off_mask, axis=0))
 
     gate_s[:] = gate
@@ -239,6 +245,7 @@ def pallas_static(static, params: DetectorParams) -> PallasDetectorStatic:
         minmin=static.minmin,
         iir_b=iir_b,
         iir_a=iir_a,
+        coupled_off=static.coupled_off,
     )
 
 

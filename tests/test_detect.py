@@ -349,3 +349,31 @@ class TestAdjustOnsetRel:
         oa, ob = adjust_onset_rel([100, 110], relx, rely, 15)
         assert (oa, ob) in [(95, 110), (100, 115)]
         assert (ob - oa) == 15
+
+
+class TestWideChannelBatching:
+    def test_uncoupled_batch_equals_per_stream(self):
+        """Batching B independent streams as extra channels with
+        coupled_off_gate=False must reproduce each stream's solo detections
+        (the wide-channel batching model used by bench.py and the fleet
+        pipelines)."""
+        streams = [synth_hits(128 * 60, 2, seed=s)[0] for s in range(3)]
+        solo = []
+        for x in streams:
+            cfg = DetectorConfig(n_channels=2, block_size=128,
+                                 hipass_freq=0.0, coupled_off_gate=False)
+            st, p, s0 = detector_init(cfg)
+            _, (on, d, _) = detect_offline(st, p, s0, jnp.asarray(x))
+            solo.append((np.asarray(on), np.asarray(d)))
+        wide = np.concatenate(streams, axis=1)  # [T, 6]
+        cfgw = DetectorConfig(n_channels=6, block_size=128,
+                              hipass_freq=0.0, coupled_off_gate=False)
+        st, p, s0 = detector_init(cfgw)
+        _, (on_w, d_w, _) = detect_offline(st, p, s0, jnp.asarray(wide))
+        on_w, d_w = np.asarray(on_w), np.asarray(d_w)
+        for i, (on, d) in enumerate(solo):
+            np.testing.assert_array_equal(on_w[:, 2 * i : 2 * i + 2], on)
+            fired = on
+            np.testing.assert_array_equal(
+                d_w[:, 2 * i : 2 * i + 2][fired], d[fired]
+            )
