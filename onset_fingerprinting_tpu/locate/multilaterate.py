@@ -534,8 +534,11 @@ def make_locate_update(m: Multilaterate3D, capacity: int = 8):
             & (lm2 < lag2 + tol)
             & (lm2 > lag2 - tol)
         )
+        # The reference's C-order argmax + F-order unravel on a square grid
+        # (multilateration.py:425) effectively yields (col, row) = (x+r, y+r)
+        # for map cell [row, col] (meshgrid 'xy': x = col - r, y = row - r).
         flat = jnp.argmax(legal_grid.T.reshape(-1))  # column-major argmax
-        cell = jnp.stack([flat % h, flat // h]).astype(jnp.float32)
+        cell = jnp.stack([flat // h, flat % h]).astype(jnp.float32)  # (col,row)
         grid_ok = jnp.any(legal_grid) & jnp.any(cell != 0)
         guess = cell - radius
         triple = jnp.stack([xyz[s0], xyz[s1], xyz[sensor]])

@@ -50,6 +50,21 @@ def trace(name: str, metrics: Optional["Metrics"] = None):
 trace_span = trace
 
 
+@contextlib.contextmanager
+def profile_trace(logdir: str | Path):
+    """Capture a full device profiler trace (TensorBoard-viewable) around a
+    region — the planned replacement for the reference's ad-hoc
+    ``time.time()`` probing (SURVEY §5.1)."""
+    if _profiler is None:  # pragma: no cover
+        yield
+        return
+    _profiler.start_trace(str(logdir))
+    try:
+        yield
+    finally:
+        _profiler.stop_trace()
+
+
 class Metrics:
     """Counters + latency observations with percentile summaries."""
 
