@@ -94,26 +94,35 @@ def main():
     engine = RealtimeEngine(cfg, locator, actions=actions)
     engine.warmup(audio[: SR // 4])
     # force compile before the stream starts (cold-compile would eat blocks)
-    engine.process(np.zeros((128, 3), np.float32))
+    engine.process_nosync(np.zeros((128, 3), np.float32))
+    engine.harvest()
 
     located = []
 
     def on_block(block, idx):
-        _, locs = engine.process(block)
-        located.extend(locs)
+        # async mode: no device→host readback in the audio thread — hits
+        # accumulate in the device-side event queue and are harvested below
+        engine.process_nosync(block)
 
     ring = NativeRing(SR * 4, 3)
     ex = NativeExecutor(ring, 128, on_block, sample_rate=float(SR))
     ex.start()
-    # producer: feed in realtime-ish chunks
+    # producer: feed in realtime-ish chunks; harvester drains located hits
     chunk = 1024
+    out_buf = np.zeros((128, 2), np.float32)
     for i in range(0, len(audio) - chunk + 1, chunk):
         ring.write(audio[i : i + chunk])
         time.sleep(chunk / SR / 4)  # feed 4x faster than realtime
+        for _, loc in engine.harvest():
+            located.append(loc)
+            actions.run(out_buf, loc)
     deadline = time.time() + 10
     want = (len(audio) // 128) - 1
     while ex.blocks_processed < want and time.time() < deadline:
         time.sleep(0.05)
+        for _, loc in engine.harvest():
+            located.append(loc)
+            actions.run(out_buf, loc)
     ex.stop()
 
     stats = ex.latency_stats()

@@ -55,6 +55,12 @@ class EngineState(NamedTuple):
     locator: LocatorState
     ring: RingBuffer
     sample_count: jnp.ndarray  # int32 absolute sample counter
+    # device-side located-hit queue: lets the host harvest events every N
+    # blocks with ONE readback instead of a synchronous transfer per block
+    # (host readbacks dominate latency on remote/tunneled TPUs)
+    ev_points: jnp.ndarray     # [E, 2] float32 ring of located hits
+    ev_onsets: jnp.ndarray     # [E] int32 absolute onset sample of each hit
+    ev_count: jnp.ndarray      # scalar int32 cumulative hit counter
 
 
 class BlockEvents(NamedTuple):
@@ -73,6 +79,7 @@ def make_engine_step(
     ring_seconds: float = 2.0,
     capacity: int = 8,
     use_pallas: bool = False,
+    event_queue: int = 64,
 ):
     """Build (initial EngineState, jitted step fn).
 
@@ -108,6 +115,9 @@ def make_engine_step(
         locator=locator_init(capacity),
         ring=ring,
         sample_count=jnp.zeros((), jnp.int32),
+        ev_points=jnp.zeros((event_queue, 2), jnp.float32),
+        ev_onsets=jnp.zeros((event_queue,), jnp.int32),
+        ev_count=jnp.zeros((), jnp.int32),
     )
 
     big = jnp.int32(10**9)
@@ -144,11 +154,35 @@ def make_engine_step(
         lstate, points, emits = jax.lax.fori_loop(
             0, c, body, (state.locator, points0, emits0)
         )
+
+        # append completed hits to the device-side event queue
+        eq = state.ev_points.shape[0]
+
+        def push(i, carry):
+            ev_points, ev_onsets, ev_count = carry
+            slot = jnp.mod(ev_count, eq)
+            hit = emits[i]
+            ev_points = jnp.where(
+                hit, ev_points.at[slot].set(points[i]), ev_points
+            )
+            ev_onsets = jnp.where(
+                hit, ev_onsets.at[slot].set(onsets_abs[i]), ev_onsets
+            )
+            ev_count = ev_count + hit.astype(jnp.int32)
+            return ev_points, ev_onsets, ev_count
+
+        ev_points, ev_onsets, ev_count = jax.lax.fori_loop(
+            0, c, push, (state.ev_points, state.ev_onsets, state.ev_count)
+        )
+
         new_state = EngineState(
             detector=dstate,
             locator=lstate,
             ring=ring,
             sample_count=state.sample_count + block.shape[0],
+            ev_points=ev_points,
+            ev_onsets=ev_onsets,
+            ev_count=ev_count,
         )
         return new_state, BlockEvents(on, onsets_abs, points, emits)
 
@@ -194,6 +228,7 @@ class RealtimeEngine:
         #: optional utils.metrics.Metrics — records per-block device latency
         #: ('engine.step' ms) and hit counters
         self.metrics = metrics
+        self._harvested = 0  # events already drained from the device queue
 
     def warmup(self, audio: np.ndarray) -> None:
         """Prime detector envelopes/thresholds on calibration audio."""
@@ -243,6 +278,55 @@ class RealtimeEngine:
             out = fx(out, self.cfg.sr, len(out), reset=False)
         self.current_index += len(block)
         return out, locations
+
+    def process_nosync(self, block: np.ndarray) -> None:
+        """Run the per-block device program WITHOUT any host readback.
+
+        Pair with :meth:`harvest` every N blocks: located hits accumulate in
+        the device-side event queue, so the audio thread never blocks on a
+        device→host transfer (which dominates latency on remote/tunneled
+        TPUs; ~tens of ms RTT vs ~1.5 ms for the program itself).
+        """
+        self.callback_time = (time.monotonic(), self.current_index)
+        if self.host_ring is not None:
+            self.host_ring.write(block)
+        self.state, _ = self._step(
+            self.state, jnp.asarray(block, jnp.float32), self.params
+        )
+        if self.metrics is not None:
+            self.metrics.count("engine.blocks")
+        self.current_index += len(block)
+
+    def harvest(self) -> list[tuple[int, Location]]:
+        """Drain newly located hits from the device event queue.
+
+        Returns ``[(absolute onset sample, Location), ...]``; the caller
+        dispatches them (e.g. ``engine.actions.run`` against the next output
+        buffer).
+        """
+        count = int(self.state.ev_count)
+        new = count - self._harvested
+        if new <= 0:
+            return []
+        eq = self.state.ev_points.shape[0]
+        if new > eq:  # queue overflow: oldest events were overwritten
+            self._harvested = count - eq
+            new = eq
+        points = np.asarray(self.state.ev_points)
+        onsets = np.asarray(self.state.ev_onsets)
+        out = []
+        for k in range(self._harvested, count):
+            slot = k % eq
+            loc = Location(
+                x=float(points[slot, 0]),
+                y=float(points[slot, 1]),
+                radius=self.locator.radius,
+            )
+            out.append((int(onsets[slot]), loc))
+        self._harvested = count
+        if self.metrics is not None:
+            self.metrics.count("engine.hits", float(new))
+        return out
 
     def event_counter(self) -> tuple[int, int]:
         """(absolute sample counter, samples since block start) for 'now' —

@@ -256,3 +256,44 @@ class TestEngineMetrics:
         s = m.summary()
         assert s["counters"]["engine.blocks"] == 3
         assert s["latency"]["engine.step"]["count"] == 3
+
+
+class TestAsyncHarvest:
+    def test_nosync_plus_harvest_equals_sync(self):
+        """The device-side event queue must deliver the same hits as the
+        synchronous per-block path."""
+        cfg, locator, eng_sync = _make_engine()
+        _, _, eng_async = _make_engine()
+        radius = DIAM / 2
+        polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+        xyz = [
+            tuple(float(v) for v in spherical_to_cartesian(r * radius, p, t))
+            for (r, p, t) in polar
+        ]
+        c = speed_of_sound(100, medium="drumhead")
+        rng = np.random.default_rng(1)
+        n = SR // 2
+        audio = rng.normal(0, 1e-4, (n, 3)).astype(np.float32)
+        t = np.arange(600)
+        burst = (np.sin(2 * np.pi * 5000 / SR * t) * np.exp(-t / 150) * 0.6)
+        for (x, y, base) in [(3.0, 1.0, 20000), (-5.0, 4.0, 40000)]:
+            for ch, (sx, sy, _) in enumerate(xyz):
+                d = np.hypot(x - sx, y - sy)
+                s = base + int(round(d / c * SR))
+                audio[s : s + 600, ch] += burst.astype(np.float32)
+        eng_sync.warmup(audio[:12800])
+        eng_async.warmup(audio[:12800])
+        sync_locs = []
+        for i in range(12800 // 128, n // 128):
+            blk = audio[i * 128 : (i + 1) * 128]
+            _, locs = eng_sync.process(blk)
+            sync_locs.extend(locs)
+            eng_async.process_nosync(blk)
+        async_ev = eng_async.harvest()
+        assert len(async_ev) == len(sync_locs) == 2
+        for (onset, la), ls in zip(async_ev, sync_locs):
+            assert np.isclose(la.x, ls.x, atol=1e-5)
+            assert np.isclose(la.y, ls.y, atol=1e-5)
+            assert onset > 0
+        # second harvest is empty
+        assert eng_async.harvest() == []
