@@ -42,10 +42,10 @@ def main() -> int:
     sr = 96000
     seconds = 1
     channels_per_stream = 4
-    # 256 4-ch streams = 1024 detector channels (8 lane-tiles): the widest
-    # configuration whose Mosaic compile stays fast on this toolchain
-    # (S=16 tiles explodes compile time).
-    n_streams = 256
+    # 1024 4-ch streams = 4096 detector channels (32 lane-tiles): compile
+    # ~50 s, throughput ~6000x realtime; C=8192 compiles too slowly on this
+    # toolchain and C=16384 exceeds VMEM.
+    n_streams = 1024
     c = n_streams * channels_per_stream
     t = sr * seconds
 
@@ -68,17 +68,20 @@ def main() -> int:
     )
 
     def run_pallas():
+        # NOTE: emit_rel=False (events-only) compiles pathologically slowly
+        # at this width on the current Mosaic toolchain; the full-output
+        # variant compiles in ~50 s and measures within 5% of it.
         _, _, state, run = make_pallas_detector(cfg)
         xd = jnp.asarray(x)
         t0 = time.perf_counter()
         _, (on, d, rel) = run(state, xd)
-        _ = float(jnp.sum(rel))
+        _ = float(jnp.sum(on))
         log(f"pallas compile+first: {time.perf_counter() - t0:.1f}s")
         n_iter = 5
         t0 = time.perf_counter()
         for _ in range(n_iter):
             _, (on, d, rel) = run(state, xd)
-            _ = float(jnp.sum(rel)) + float(jnp.sum(on))
+            _ = float(jnp.sum(on)) + float(jnp.sum(d))
         return (time.perf_counter() - t0) / n_iter
 
     def run_scan():

@@ -73,24 +73,37 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _detector_kernel(
-    static: PallasDetectorStatic,
-    # inputs
-    x_ref,       # [B, S, 128] audio block (grid-sliced)
-    on_th_ref,   # [S, 128]
-    off_th_ref,  # [S, 128]
-    zi0_ref,     # [ORDER, S, 128]
-    yf0_ref, ys0_ref, mn0_ref, mx0_ref,      # [S, 128]
-    gate0_ref, prev0_ref, deb0_ref,           # [S, 128]
-    # outputs
-    on_ref,      # [1, S, 128] int32 (grid-sliced)
-    delta_ref,   # [1, S, 128] int32
-    rel_ref,     # [B, S, 128] f32 (grid-sliced)
-    zi_out, yf_out, ys_out, mn_out, mx_out,   # final streaming state
-    gate_out, prev_out, deb_out,
-    # scratch (persists across sequential grid steps)
-    zi_s, yf_s, ys_s, mn_s, mx_s, gate_s, prev_s, deb_s,
-):
+def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
+    """Kernel body.  ``refs`` layout:
+
+    inputs:  x [B,S,128] (grid-sliced), on_th, off_th [S,128],
+             zi0 [ORDER,S,128], yf0, ys0, mn0, mx0, gate0, prev0, deb0
+    outputs: on, delta [1,S,128] i32 (grid-sliced),
+             (rel_out [B,S,128] f32 — only when emit_rel),
+             zi/yf/ys/mn/mx/gate/prev/deb finals
+    scratch: rel_buf [B,S,128] (block-local), zi_s [ORDER,S,128],
+             yf/ys/mn/mx/gate/prev/deb_s [S,128] (persist across grid steps)
+
+    ``emit_rel=False`` keeps the relative envelope in scratch only — the
+    full-T rel output block otherwise double-buffers in VMEM and caps the
+    channel width (S=64 OOMs by <1 MB with it, fits comfortably without).
+    """
+    (
+        x_ref, on_th_ref, off_th_ref, zi0_ref,
+        yf0_ref, ys0_ref, mn0_ref, mx0_ref, gate0_ref, prev0_ref, deb0_ref,
+    ) = refs[:11]
+    n_out = 11 if emit_rel else 10
+    outs = refs[11 : 11 + n_out]
+    if emit_rel:
+        (on_ref, delta_ref, rel_out, zi_out, yf_out, ys_out, mn_out,
+         mx_out, gate_out, prev_out, deb_out) = outs
+    else:
+        (on_ref, delta_ref, zi_out, yf_out, ys_out, mn_out, mx_out,
+         gate_out, prev_out, deb_out) = outs
+        rel_out = None
+    (rel_ref, zi_s, yf_s, ys_s, mn_s, mx_s, gate_s, prev_s, deb_s) = refs[
+        11 + n_out :
+    ]
     i = pl.program_id(0)
     bsz = static.block_size
     eps = jnp.float32(1e-10)
@@ -159,16 +172,19 @@ def _detector_kernel(
     mn_s[:] = mn
     mx_s[:] = mx
 
-    # ---- pass 2: block-level hysteresis (vectorized) --------------------
+    # ---- pass 2: block-level hysteresis ---------------------------------
     # Boolean logic is expressed with f32 0/1 masks: this Mosaic target
-    # rejects i1 vector materialization (trunci i8→i1).
+    # rejects i1 vector materialization (trunci i8→i1).  The block is
+    # processed in CHUNK-row slices: full-block [B, S, 128] intermediates
+    # would each cost B·S·128·4 bytes of VMEM stack (4 MB at S=64) and OOM
+    # wide-channel configurations.
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
+    CHUNK = 8
 
     def mask(cond):
         return jnp.where(cond, one, zero)
 
-    rel = rel_ref[:]  # [B, S, 128]
     if static.manual:
         on_th = on_th_ref[:]
         off_th = off_th_ref[:]
@@ -178,18 +194,29 @@ def _detector_kernel(
     gate = gate_s[:]  # f32 0/1
     deb = deb_s[:]
 
-    prev_full = jnp.concatenate([prev_s[:][None], rel[:-1]], axis=0)
-    crossed = (
-        mask(rel > on_th[None])
-        * (one - gate[None])
-        * mask(deb[None] < 1)
-        * mask(prev_full < on_th[None])
-    )
+    # chunk loop 1: first on-crossing index per channel
+    def on_chunk(k, carry):
+        first, prev_last = carry
+        rel_c = rel_ref[pl.ds(k * CHUNK, CHUNK)]
+        prev_full = jnp.concatenate([prev_last[None], rel_c[:-1]], axis=0)
+        crossed = (
+            mask(rel_c > on_th[None])
+            * (one - gate[None])
+            * mask(deb[None] < 1)
+            * mask(prev_full < on_th[None])
+        )
+        row = k * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, rel_c.shape, 0
+        )
+        first = jnp.minimum(
+            first, jnp.min(jnp.where(crossed > 0, row, jnp.int32(bsz)), axis=0)
+        )
+        return first, rel_c[CHUNK - 1]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, rel.shape, 0)
-    first = jnp.min(
-        jnp.where(crossed > 0, row, jnp.int32(bsz)), axis=0
-    )  # [S, 128]
+    first0 = jnp.full((rel_ref.shape[1], rel_ref.shape[2]), bsz, jnp.int32)
+    first, _ = jax.lax.fori_loop(
+        0, bsz // CHUNK, on_chunk, (first0, prev_s[:])
+    )
     on_f = mask(first < bsz)
     on_idx = jnp.where(first < bsz, first, jnp.int32(0))
 
@@ -199,11 +226,24 @@ def _detector_kernel(
 
     if static.coupled_off:
         # cross-channel quirk (detection.py:790) for exact reference parity
-        off_row_ok = mask(row >= jnp.max(on_idx))
+        off_from = jnp.broadcast_to(jnp.max(on_idx), on_idx.shape)
     else:
-        off_row_ok = mask(row >= on_idx[None])
-    off_mask = mask(rel < off_th[None]) * off_row_ok
-    gate = gate * (one - jnp.max(off_mask, axis=0))
+        off_from = on_idx
+
+    # chunk loop 2: any off-crossing at/after the first-onset row
+    def off_chunk(k, off_any):
+        rel_c = rel_ref[pl.ds(k * CHUNK, CHUNK)]
+        row = k * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, rel_c.shape, 0
+        )
+        off_mask = mask(rel_c < off_th[None]) * mask(row >= off_from[None])
+        return jnp.maximum(off_any, jnp.max(off_mask, axis=0))
+
+    off_any = jax.lax.fori_loop(
+        0, bsz // CHUNK, off_chunk,
+        jnp.zeros((rel_ref.shape[1], rel_ref.shape[2]), jnp.float32),
+    )
+    gate = gate * (one - off_any)
 
     gate_s[:] = gate
     deb_s[:] = deb
@@ -211,6 +251,8 @@ def _detector_kernel(
 
     on_ref[0] = on_f.astype(jnp.int32)
     delta_ref[0] = on_idx
+    if emit_rel:
+        rel_out[:] = rel_ref[:]
 
     # ---- stream state out (last write wins) -----------------------------
     zi_out[:] = zi_s[:]
@@ -265,19 +307,22 @@ def _untile(arr: jnp.ndarray, c: int) -> jnp.ndarray:
     return arr.reshape(arr.shape[:-2] + (-1,))[..., :c]
 
 
-@partial(jax.jit, static_argnums=(0, 4))
+@partial(jax.jit, static_argnums=(0, 4, 5))
 def pallas_detect_offline(
     pstatic: PallasDetectorStatic,
     params: DetectorParams,
     state: DetectorState,
     x: jnp.ndarray,
     interpret: bool = False,
+    emit_rel: bool = True,
 ):
     """Fused-kernel detector over ``x [T, C]`` (T a multiple of block size).
 
     Returns ``(new_state, (on [nb, C] bool, deltas [nb, C] i32,
-    rel [T, C] f32))`` — the same contract as
-    ``detect.amplitude.detect_offline``.
+    rel [T, C] f32 or None))`` — the same contract as
+    ``detect.amplitude.detect_offline``.  ``emit_rel=False`` skips the full
+    relative-envelope output (events only): it halves VMEM block residency,
+    allowing channel widths up to C=8192 per call.
     """
     t, c = x.shape
     bsz = pstatic.block_size
@@ -310,30 +355,42 @@ def pallas_detect_offline(
         (bsz, *sl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
+    rel_out_specs = [per_block_b] if emit_rel else []
+    rel_out_shapes = (
+        [jax.ShapeDtypeStruct((t, *sl), jnp.float32)] if emit_rel else []
+    )
     outs = pl.pallas_call(
-        partial(_detector_kernel, pstatic),
+        partial(_detector_kernel, pstatic, emit_rel),
         grid=(nb,),
         in_specs=[per_block_b, const2, const2, const3] + [const2] * 7,
         out_specs=(
             per_block_1,            # on
             per_block_1,            # deltas
-            per_block_b,            # rel
+            *rel_out_specs,         # rel (optional)
             const3,                 # zi final
             *([const2] * 7),        # state finals
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
             jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
-            jax.ShapeDtypeStruct((t, *sl), jnp.float32),
+            *rel_out_shapes,
             jax.ShapeDtypeStruct((ORDER, *sl), jnp.float32),
             *[jax.ShapeDtypeStruct(sl, jnp.float32) for _ in range(7)],
         ),
-        scratch_shapes=[pltpu.VMEM((ORDER, *sl), jnp.float32)]
+        scratch_shapes=[
+            pltpu.VMEM((bsz, *sl), jnp.float32),   # block-local rel
+            pltpu.VMEM((ORDER, *sl), jnp.float32),
+        ]
         + [pltpu.VMEM(sl, jnp.float32) for _ in range(7)],
         interpret=interpret,
     )(xt, on_th, off_th, zi0, *sv)
 
-    on, deltas, rel, zi_f, yf_f, ys_f, mn_f, mx_f, gate_f, prev_f, deb_f = outs
+    if emit_rel:
+        on, deltas, rel, *finals = outs
+    else:
+        on, deltas, *finals = outs
+        rel = None
+    zi_f, yf_f, ys_f, mn_f, mx_f, gate_f, prev_f, deb_f = finals
     new_state = DetectorState(
         zi=_untile(zi_f, c)[: state.zi.shape[0]],
         fast=_untile(yf_f, c),
@@ -349,17 +406,21 @@ def pallas_detect_offline(
     return new_state, (
         _untile(on, c) > 0,
         _untile(deltas, c),
-        _untile(rel, c),
+        _untile(rel, c) if emit_rel else None,
     )
 
 
-def make_pallas_detector(cfg: DetectorConfig, interpret: bool = False):
+def make_pallas_detector(
+    cfg: DetectorConfig, interpret: bool = False, emit_rel: bool = True
+):
     """(static, params, state, run) with the kernel bound; ``run(state, x)``
     mirrors ``detect_offline``."""
     static, params, state = detector_init(cfg)
     pstatic = pallas_static(static, params)
 
     def run(state: DetectorState, x: jnp.ndarray):
-        return pallas_detect_offline(pstatic, params, state, x, interpret)
+        return pallas_detect_offline(
+            pstatic, params, state, x, interpret, emit_rel
+        )
 
     return static, params, state, run

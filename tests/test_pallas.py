@@ -79,3 +79,25 @@ def test_kernel_channel_padding_inert():
     assert np.asarray(rel).shape == (T, 2)
     # detections happen on both real channels
     assert np.asarray(on).sum() > 0
+
+
+def test_events_only_mode_matches():
+    """emit_rel=False must produce identical events with no rel output."""
+    T, C = 128 * 40, 3
+    x = synth(T, C, seed=7)
+    cfg = DetectorConfig(
+        n_channels=C, block_size=128, hipass_freq=2000.0, sr=96000
+    )
+    _, _, state, run_full = make_pallas_detector(cfg, interpret=True)
+    _, _, _, run_ev = make_pallas_detector(
+        cfg, interpret=True, emit_rel=False
+    )
+    _, (on1, d1, rel1) = run_full(state, jnp.asarray(x))
+    st2, (on2, d2, rel2) = run_ev(state, jnp.asarray(x))
+    assert rel2 is None and rel1 is not None
+    np.testing.assert_array_equal(np.asarray(on1), np.asarray(on2))
+    np.testing.assert_array_equal(
+        np.asarray(d1)[np.asarray(on1)], np.asarray(d2)[np.asarray(on1)]
+    )
+    # streaming state still returned
+    assert np.isfinite(np.asarray(st2.fast)).all()
