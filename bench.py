@@ -44,8 +44,10 @@ def main() -> int:
     channels_per_stream = 4
     # 1024 4-ch streams = 4096 detector channels (32 lane-tiles): compile
     # ~50 s, throughput ~6000x realtime; C=8192 compiles too slowly on this
-    # toolchain and C=16384 exceeds VMEM.
-    n_streams = 1024
+    # toolchain and C=16384 exceeds VMEM.  Override via OFPTPU_BENCH_STREAMS.
+    import os
+
+    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "1024"))
     c = n_streams * channels_per_stream
     t = sr * seconds
 

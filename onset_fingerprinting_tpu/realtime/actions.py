@@ -249,7 +249,12 @@ class Sample(Action):
 @dataclass
 class Actions:
     """Per-callback action scheduler (actions.py:359-410): armed actions in a
-    deque, triggered ones in a priority queue, re-queued until consumed."""
+    deque, triggered ones in a priority queue, re-queued until consumed.
+
+    Unlike the reference — whose serve loop calls ``run`` but never
+    ``trigger`` (audio.py:112; nothing arms the active queue, so armed
+    actions can never fire) — ``run`` here triggers matching actions first.
+    """
 
     max: int = 20
     actions: deque = field(default_factory=deque)

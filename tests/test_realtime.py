@@ -297,3 +297,23 @@ class TestAsyncHarvest:
             assert onset > 0
         # second harvest is empty
         assert eng_async.harvest() == []
+
+
+class TestServeAppEntry:
+    def test_build_engine_from_setup_and_run_wav(self, tmp_path, rng):
+        """realtime.main: load_setup → engine wiring → WAV streaming through
+        the native executor (the reference's app entry, main.py:66-105)."""
+        from onset_fingerprinting_tpu.core.audio_io import write_wav
+        from onset_fingerprinting_tpu.realtime.main import build_engine, run_wav
+
+        locs = [[0.9, 0, 0], [0.9, 120, 0], [0.9, 240, 0]]
+        save_setup(locs, "drumhead", 0.82, None, None, tmp_path)
+        engine = build_engine(tmp_path, sr=SR)
+        assert engine.cfg.n_channels == 3
+        # engine must process a block end-to-end
+        out, _ = engine.process(np.zeros((128, 3), np.float32))
+        assert out.shape == (128, 2)
+        # WAV streaming path (short file)
+        audio = rng.normal(0, 1e-4, (SR // 4, 3)).astype(np.float32)
+        write_wav(tmp_path / "in.wav", audio, SR)
+        run_wav(engine, tmp_path / "in.wav")
