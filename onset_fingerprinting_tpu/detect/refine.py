@@ -10,12 +10,63 @@ via the batched jax variant.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import median_filter
 
-from onset_fingerprinting_tpu.ops.xcorr import cross_correlation_lag
+from onset_fingerprinting_tpu.ops.xcorr import (
+    cross_correlation_lag,
+    cross_correlation_lag_jax,
+)
+
+
+@partial(jax.jit, static_argnames=(
+    "lookaround", "onset_tolerance", "normalization_cutoff"
+))
+def cc_refine_lag_jax(
+    window: jnp.ndarray,
+    pos0: jnp.ndarray,
+    pos1: jnp.ndarray,
+    lookaround: int = 60,
+    onset_tolerance: int = 50,
+    normalization_cutoff: int = 10,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittable onset-pair lag refinement over a fixed live-audio window —
+    the device twin of the locator's CC refinement (reference:
+    multilateration.py:457-501).
+
+    :param window: ``[W, 2]`` raw audio (chronological) containing both
+        onsets; audio before ``pos0 - lookaround`` is zeroed to reproduce the
+        reference's section trimming.
+    :param pos0: window-relative position of the (earlier) seed onset
+    :param pos1: window-relative position of the new onset
+    :returns: ``(refined lag pos1' - pos0, valid)``
+    """
+    from onset_fingerprinting_tpu.ops.filters import median_filter_1d
+
+    w = window.shape[0]
+    row = jnp.arange(w)[:, None]
+    x = jnp.where(row >= pos0 - lookaround, window.astype(jnp.float32), 0.0)
+    x = median_filter_1d(x, 5)
+    d = jnp.diff(x, axis=0)
+    d = jnp.abs(jnp.where(d >= 0, 0.0, d))
+    lag, cc_valid = cross_correlation_lag_jax(
+        d[:, 0],
+        d[:, 1],
+        jnp.stack([pos0, pos1]),
+        onset_tolerance=onset_tolerance,
+        normalization_cutoff=normalization_cutoff,
+    )
+    in_bounds = (
+        (pos0 >= lookaround)
+        & (pos1 > pos0)
+        & (pos1 < w - 1)
+    )
+    return lag, cc_valid & in_bounds
 
 
 def adjust_onset_rel(

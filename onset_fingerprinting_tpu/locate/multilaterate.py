@@ -481,26 +481,82 @@ def build_locator_tables(m: Multilaterate3D):
     )
 
 
-def make_locate_update(m: Multilaterate3D, capacity: int = 8):
-    """Build a jitted ``(state, sensor, onset) -> (state, xy, valid)`` step.
+def make_locate_update(
+    m: Multilaterate3D, capacity: int = 8, cc_refine: bool = False
+):
+    """Build a jitted locate step.
+
+    Signature without refinement: ``(state, sensor, onset) -> (state, xy,
+    valid)``.  With ``cc_refine=True`` the step additionally takes
+    ``(window [W, C], win_start)`` — a fixed-length slice of live audio
+    ending 'now' (use ``update.window_len``) — and refines the incoming
+    onset against the candidate group's seed by masked cross-correlation
+    before the legality checks, the jittable equivalent of the reference's
+    live-buffer refinement (multilateration.py:457-501).  Deviation: the
+    refined lag always moves the *new* onset (the reference's energy
+    heuristic may move the seed instead); trilateration consumes only lags,
+    so completed-hit positions are unaffected.
 
     Captures the locator's lag maps/sensor geometry as device constants.
-    Semantics follow Multilaterate3D.locate without CC refinement (the fused
-    engine refines onsets upstream): group join on pairwise legality, 3-way
-    completion via joint lag-map feasibility (argmax cell as the Newton
-    initial guess), trilateration on completion, seed dedup, slot eviction of
-    stale groups.
+    Semantics follow Multilaterate3D.locate: group join on pairwise
+    legality, 3-way completion via joint lag-map feasibility (argmax cell as
+    the Newton initial guess), trilateration on completion, seed dedup, slot
+    eviction of stale groups.
     """
+    from onset_fingerprinting_tpu.detect.refine import cc_refine_lag_jax
+
     maps, min_l, max_l, mml, xyz = build_locator_tables(m)
     radius = float(m.radius)
     samples_per_cm = float(m.samples_per_cm)
     tol = samples_per_cm * 1.0
     c_over_sr = float(m.c / m.sr)
     h, w = maps.shape[2:]
+    window_len = int(
+        -(-(LOOKAROUND + float(np.nanmax(mml)) + 256) // 128) * 128
+    )
 
-    def update(state: LocatorState, sensor: jnp.ndarray, onset: jnp.ndarray):
+    def update(
+        state: LocatorState,
+        sensor: jnp.ndarray,
+        onset: jnp.ndarray,
+        window: jnp.ndarray | None = None,
+        win_start: jnp.ndarray | None = None,
+    ):
         sensor = sensor.astype(jnp.int32)
         onset = onset.astype(jnp.int32)
+
+        if cc_refine:
+            assert window is not None and win_start is not None
+            seed0 = jnp.maximum(state.sensors[:, 0], 0)
+            lag0 = (onset - state.onsets[:, 0]).astype(jnp.float32)
+            cand = (
+                (state.count > 0)
+                & (lag0 >= 0)
+                & (lag0 <= mml[seed0])
+                & ~jnp.any(
+                    (state.sensors == sensor)
+                    & (jnp.arange(3) < state.count[:, None]),
+                    axis=1,
+                )
+            )
+            gj = jnp.argmax(cand)
+            o0 = state.onsets[gj, 0]
+            s0 = seed0[gj]
+            pos0 = o0 - win_start
+            pos1 = onset - win_start
+            pair = jnp.stack(
+                [window[:, s0], window[:, sensor]], axis=1
+            )
+            new_lag, ok = cc_refine_lag_jax(
+                pair, pos0, pos1,
+                lookaround=LOOKAROUND,
+                onset_tolerance=ONSET_TOL,
+                normalization_cutoff=NORM_CUTOFF,
+            )
+            onset = jnp.where(
+                jnp.any(cand) & ok, o0 + new_lag.astype(jnp.int32), onset
+            )
+
         lag = (onset - state.onsets[:, 0]).astype(jnp.float32)  # [G]
         seed = state.sensors[:, 0]
         seed_safe = jnp.maximum(seed, 0)
