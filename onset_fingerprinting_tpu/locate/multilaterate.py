@@ -649,4 +649,6 @@ def make_locate_update(
         )
         return new_state, point, emit
 
-    return jax.jit(update)
+    jitted = jax.jit(update)
+    jitted.window_len = window_len
+    return jitted

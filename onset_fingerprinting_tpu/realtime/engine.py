@@ -80,6 +80,7 @@ def make_engine_step(
     capacity: int = 8,
     use_pallas: bool = False,
     event_queue: int = 64,
+    cc_refine: bool = False,
 ):
     """Build (initial EngineState, jitted step fn).
 
@@ -105,7 +106,10 @@ def make_engine_step(
 
         def detect_fn(params_, st, block):
             return detect_block(static, params_, st, block)
-    locate_update = make_locate_update(locator, capacity=capacity)
+    locate_update = make_locate_update(
+        locator, capacity=capacity, cc_refine=cc_refine
+    )
+    win_len = getattr(locate_update, "window_len", 0)
     c = cfg.n_channels
     ring = ring_init(
         int(ring_seconds * cfg.sr), (c,), dtype=jnp.float32
@@ -129,6 +133,15 @@ def make_engine_step(
         dstate, (on, deltas, rel) = detect_fn(params_, state.detector, block)
         ring = ring_write(state.ring, block)
         onsets_abs = state.sample_count + deltas
+        if cc_refine:
+            # fixed-length live-audio window ending 'now' for onset-lag
+            # refinement inside the locator (multilateration.py:457-501)
+            from onset_fingerprinting_tpu.core.ring_buffer import (
+                ring_read_last,
+            )
+
+            window = ring_read_last(ring, win_len)
+            win_start = state.sample_count + block.shape[0] - win_len
 
         # feed fired channels to the locator in onset order
         order = jnp.argsort(jnp.where(on, deltas, big))
@@ -139,9 +152,14 @@ def make_engine_step(
             lstate, points, emits = carry
             ch = order[i]
             valid = on[ch]
-            new_lstate, point, emit = locate_update(
-                lstate, ch, onsets_abs[ch]
-            )
+            if cc_refine:
+                new_lstate, point, emit = locate_update(
+                    lstate, ch, onsets_abs[ch], window, win_start
+                )
+            else:
+                new_lstate, point, emit = locate_update(
+                    lstate, ch, onsets_abs[ch]
+                )
             lstate = jax.tree.map(
                 lambda new, old: jnp.where(valid, new, old),
                 new_lstate,

@@ -412,3 +412,69 @@ class TestCCRefinement:
             res = m.locate(int(i), true_onsets[i] + jitter[i], ring) or res
         assert res is not None
         assert np.hypot(res[0] - x, res[1] - y) < 2.5
+
+
+class TestJittableCCRefinement:
+    def test_refinement_recovers_jittered_onsets(self):
+        """Onsets jittered beyond the lag-map joint tolerance fail without
+        refinement and locate correctly with it (the jittable twin of the
+        reference's live-buffer CC refinement)."""
+        import jax.numpy as jnp
+        from onset_fingerprinting_tpu.detect.refine import cc_refine_lag_jax
+
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        c = speed_of_sound(100, medium="drumhead")
+        rng = np.random.default_rng(2)
+
+        x, y = 5.0, -3.0
+        n = 6000
+        audio = rng.normal(0, 1e-5, (n, 3)).astype(np.float32)
+        t = np.arange(500)
+        burst = np.sin(2 * np.pi * 4000 / SR * t) * np.exp(-t / 120)
+        base = 3000
+        true_onsets = []
+        for ch, (sx, sy, _) in enumerate(xyz):
+            d = np.hypot(x - sx, y - sy)
+            onset = base + int(round(d / c * SR))
+            audio[onset : onset + 500, ch] += burst.astype(np.float32)
+            true_onsets.append(onset)
+        jitter = [0, 22, -20]  # >> is_legal_3d tolerance (~12 samples)
+        events = sorted(
+            (true_onsets[ch] + jitter[ch], ch) for ch in range(3)
+        )
+
+        def run(cc_refine):
+            upd = make_locate_update(m, cc_refine=cc_refine)
+            state = locator_init(8)
+            w = upd.window_len
+            found = []
+            for onset, ch in events:
+                if cc_refine:
+                    # window of live audio ending a block after the event
+                    end = onset + 128
+                    pad = np.zeros((max(w - end, 0), 3), np.float32)
+                    win = np.concatenate([pad, audio[max(end - w, 0):end]])
+                    state_new, point, emit = upd(
+                        state, jnp.int32(ch), jnp.int32(onset),
+                        jnp.asarray(win), jnp.int32(end - w),
+                    )
+                else:
+                    state_new, point, emit = upd(
+                        state, jnp.int32(ch), jnp.int32(onset)
+                    )
+                state = state_new
+                if bool(emit):
+                    found.append(np.asarray(point))
+            return found
+
+        # without refinement the jittered lags land on a wrong grid cell
+        # (≈2.7 cm error); with refinement the CC recovers the true lags
+        unrefined = run(cc_refine=False)
+        errs_u = [float(np.hypot(p[0] - x, p[1] - y)) for p in unrefined]
+        assert all(e > 1.5 for e in errs_u)
+        found = run(cc_refine=True)
+        assert len(found) == 1
+        assert np.hypot(found[0][0] - x, found[0][1] - y) < 0.5
