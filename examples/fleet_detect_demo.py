@@ -92,7 +92,7 @@ def main():
         n_channels=3, block_size=128, hipass_freq=0.0, sr=SR
     )
     static, params, state = detector_init(cfg)
-    _, (on, deltas, rel) = detect_offline_sharded(
+    on, deltas, rel = detect_offline_sharded(
         static, params, state, jnp.asarray(streams), mesh
     )
     on, deltas = np.asarray(on), np.asarray(deltas)

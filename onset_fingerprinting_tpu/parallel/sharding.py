@@ -44,26 +44,104 @@ def detect_offline_sharded(
     state: DetectorState,
     x: jnp.ndarray,
     mesh: Mesh,
+    backend: str = "scan",
+    interpret: bool = False,
 ):
     """Run the fused offline detector over a sharded batch ``[S, T, C]``.
 
-    Each device scans its slice of the stream batch; results come back with
-    the same sharding.  ``state`` is a single-stream template — it is
-    broadcast to every stream.
-    """
-    s = x.shape[0]
-    batched_state = jax.tree.map(
-        lambda a: jnp.broadcast_to(a, (s,) + a.shape), state
-    )
-    xs = shard_batch(mesh, x)
+    The batch folds into the channel axis (the detector is
+    channel-independent — SURVEY §2.7's vectorized multi-channel parallelism
+    taken to fleet scale): each device runs ONE wide-channel detector over
+    its shard of streams via ``shard_map`` — no vmap (which recompiles the
+    scan per batch width and compiles poorly), no collectives.  Use
+    ``coupled_off_gate=False`` in the detector config so independent streams
+    don't couple through the reference's cross-channel off-gate quirk.
 
-    @partial(jax.jit, out_shardings=None)
-    def run(bstate, xb):
-        return jax.vmap(lambda st, xi: detect_offline(static, params, st, xi))(
-            bstate, xb
+    ``backend='pallas'`` runs the fused kernel per device.
+    Returns per-stream results ``(state [S,...], (on [S, nb, C],
+    deltas [S, nb, C], rel [S, T, C]))``.
+    """
+    from jax import shard_map
+
+    n_streams, t, c = x.shape
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    assert n_streams % n_dev == 0, "streams must divide the mesh axis"
+    per_dev = n_streams // n_dev
+
+    # local wide-channel detector over per_dev streams: tile the caller's
+    # exact static config / params / state across the stream axis
+    import dataclasses
+
+    static_l = dataclasses.replace(
+        static, n_channels=per_dev * c, coupled_off=False
+    )
+    params_l = DetectorParams(
+        on_threshold=jnp.tile(params.on_threshold, per_dev),
+        off_threshold=jnp.tile(params.off_threshold, per_dev),
+        b=params.b,
+        a=params.a,
+    )
+    state_l = DetectorState(
+        zi=jnp.tile(state.zi, (1, per_dev)) if state.zi.size else state.zi,
+        fast=jnp.tile(state.fast, per_dev),
+        slow=jnp.tile(state.slow, per_dev),
+        min_val=jnp.tile(state.min_val, per_dev),
+        max_val=jnp.tile(state.max_val, per_dev),
+        gate=jnp.tile(state.gate, per_dev),
+        prev_rel=jnp.tile(state.prev_rel, per_dev),
+        debounce=jnp.tile(state.debounce, per_dev),
+        bt_buffer=jnp.tile(state.bt_buffer, (1, per_dev))
+        if state.bt_buffer.size
+        else state.bt_buffer,
+        bt_pos=state.bt_pos,
+    )
+
+    if backend == "pallas":
+        from onset_fingerprinting_tpu.ops.pallas_detector import (
+            pallas_detect_offline,
+            pallas_static,
         )
 
-    return run(batched_state, xs)
+        pstatic = pallas_static(static_l, params_l)
+
+        def per_shard(xb):  # [S_local, T, C]
+            wide = jnp.moveaxis(xb, 0, 1).reshape(t, per_dev * c)
+            _, (on, deltas, rel) = pallas_detect_offline(
+                pstatic, params_l, state_l, wide, interpret
+            )
+            nb = t // static.block_size
+            unfold = lambda a, d0: jnp.moveaxis(
+                a.reshape(d0, per_dev, c), 1, 0
+            )
+            return (
+                unfold(on, nb),
+                unfold(deltas, nb),
+                unfold(rel, t),
+            )
+    else:
+
+        def per_shard(xb):
+            wide = jnp.moveaxis(xb, 0, 1).reshape(t, per_dev * c)
+            _, (on, deltas, rel) = detect_offline(
+                static_l, params_l, state_l, wide
+            )
+            nb = t // static.block_size
+            unfold = lambda a, d0: jnp.moveaxis(
+                a.reshape(d0, per_dev, c), 1, 0
+            )
+            return unfold(on, nb), unfold(deltas, nb), unfold(rel, t)
+
+    run = jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    return run(jax.device_put(x, NamedSharding(mesh, P(axis))))
 
 
 def detect_offline_time_sharded(

@@ -56,7 +56,7 @@ class TestShardedDetection:
         )
         static, params, state = detector_init(cfg)
         xs = np.stack([synth(128 * 40, 2, seed=i) for i in range(8)])
-        _, (on_s, d_s, rel_s) = detect_offline_sharded(
+        on_s, d_s, rel_s = detect_offline_sharded(
             static, params, state, jnp.asarray(xs), mesh
         )
         for i in range(0, 8, 3):
