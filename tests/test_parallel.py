@@ -139,3 +139,26 @@ class TestPallasTimeSharded:
             np.asarray(on_r), np.asarray(d_r), 128)))
         assert set_t == set_r
         assert len(set_r) > 0
+
+
+class TestShardedPallasBackend:
+    def test_batch_sharded_pallas_matches_scan(self, mesh):
+        cfg = DetectorConfig(
+            n_channels=2, block_size=128, hipass_freq=0.0, sr=96000,
+            coupled_off_gate=False,
+        )
+        static, params, state = detector_init(cfg)
+        xs = np.stack([synth(128 * 30, 2, seed=i) for i in range(8)])
+        on_p, d_p, _ = detect_offline_sharded(
+            static, params, state, jnp.asarray(xs), mesh,
+            backend="pallas", interpret=True,
+        )
+        on_s, d_s, _ = detect_offline_sharded(
+            static, params, state, jnp.asarray(xs), mesh
+        )
+        np.testing.assert_array_equal(np.asarray(on_p), np.asarray(on_s))
+        fired = np.asarray(on_s)
+        np.testing.assert_array_equal(
+            np.asarray(d_p)[fired], np.asarray(d_s)[fired]
+        )
+        assert fired.sum() > 0
