@@ -394,6 +394,62 @@ class AmplitudeOnsetDetector:
                 self.static, self.params, self.state, jnp.asarray(x[:t])
             )
 
+    def init(self, x: np.ndarray, verbose: bool = True) -> np.ndarray:
+        """Bulk threshold calibration from representative audio
+        (detection.py:842-888): warm the envelopes on the first half-second
+        (assumed quiet), derive absolute on/off thresholds from the relative
+        envelope's median (noise floor) and max (performance peak), report
+        the approximate relative noise threshold per channel, and re-warm
+        the filters for continuity.
+
+        Switches the detector to manual (absolute) thresholds — the
+        reference leaves ``manual`` False after init, so its freshly computed
+        absolute thresholds get re-scaled by the min/max tracker on the next
+        call (a latent defect); here init implies manual mode.
+
+        Returns the per-channel relative noise thresholds.
+        """
+        from onset_fingerprinting_tpu.ops.filters import sliding_max
+
+        bsz = self.cfg.block_size
+        sr = self.cfg.sr
+        t = (len(x) // bsz) * bsz
+        xj = jnp.asarray(x[:t])
+
+        # warm envelopes on 0.1-0.5 s (assumed silent), like the reference
+        lo = (int(0.1 * sr) // bsz) * bsz
+        hi = (int(0.5 * sr) // bsz) * bsz
+        self.state = warmup_minmax(
+            self.static, self.params, self.state, xj[lo:hi]
+        )
+        # full-pass relative envelope
+        _, (_, _, rel) = detect_offline(
+            self.static, self.params, self.state, xj
+        )
+        first_sec = rel[: min(sr, t)]
+        mins = jnp.median(first_sec, axis=0)
+        maxs = jnp.max(rel, axis=0)
+        on_abs = maxs * self.cfg.on_threshold + mins
+        off_abs = maxs * self.cfg.off_threshold + mins
+        noise_max = jnp.median(
+            sliding_max(rel, int(sr * 0.01)), axis=0
+        )
+        noise_thresh = np.asarray((noise_max - mins) / maxs)
+        if verbose:
+            print(
+                "Approx. relative noise thresholds at "
+                f"{[float(np.round(v, 3)) for v in noise_thresh]}!"
+            )
+        # switch to manual absolute thresholds
+        import dataclasses
+
+        self.static = dataclasses.replace(self.static, manual=True)
+        self.params = self.params._replace(
+            on_threshold=jnp.asarray(on_abs, jnp.float32),
+            off_threshold=jnp.asarray(off_abs, jnp.float32),
+        )
+        return noise_thresh
+
 
 def detect_onsets_amplitude(
     x: np.ndarray,

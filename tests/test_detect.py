@@ -377,3 +377,24 @@ class TestWideChannelBatching:
             np.testing.assert_array_equal(
                 d_w[:, 2 * i : 2 * i + 2][fired], d[fired]
             )
+
+
+class TestBulkInit:
+    def test_init_calibrates_manual_thresholds(self, capsys):
+        """AmplitudeOnsetDetector.init: bulk calibration sets absolute
+        thresholds and reports noise floors (detection.py:842-888)."""
+        x, hits = synth_hits(96000, 2, seed=6)
+        od = AmplitudeOnsetDetector(2, 128, hipass_freq=0.0, sr=96000)
+        noise = od.init(x)
+        assert od.static.manual
+        assert noise.shape == (2,)
+        assert "noise thresholds" in capsys.readouterr().out
+        # detector still finds synthetic hits with the calibrated absolute
+        # thresholds (run the jitted offline scan rather than a slow
+        # per-block host loop)
+        _, (on, _, _) = detect_offline(
+            od.static, od.params, od.state, jnp.asarray(x)
+        )
+        late_hits = [h for h in hits if h > 48000]
+        fired = np.asarray(on)[48000 // 128 :]
+        assert fired.sum() >= len(late_hits) * 2 * 0.7
