@@ -91,7 +91,11 @@ def main():
             [b], fx, [ParameterMapper.from_bounds_fx(b, fx, "phi", ["cutoff"])]
         )
     )
-    engine = RealtimeEngine(cfg, locator, actions=actions)
+    # Pallas per-block detector on TPU (~4x faster block step than the
+    # XLA-scan path); scan path on CPU (kernels need interpret mode there)
+    engine = RealtimeEngine(
+        cfg, locator, actions=actions, use_pallas=not args.cpu
+    )
     engine.warmup(audio[: SR // 4])
     # force compile before the stream starts (cold-compile would eat blocks)
     engine.process_nosync(np.zeros((128, 3), np.float32))

@@ -130,15 +130,12 @@ def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
         deb_s[:] = deb0_ref[:]
 
     # ---- pass 1: per-sample recurrences --------------------------------
-    # Envelope/minmax state is carried in loop registers; the IIR delay line
-    # lives in VMEM scratch (a wider loop carry explodes Mosaic compile time
-    # — an 8-array carry took >9 min to compile vs ~5 s with this split, and
-    # full unroll is likewise compile-prohibitive on this toolchain).
-    # NOTE on tuning: carrying the IIR delay line in the loop carry, manual
-    # in-body unrolling, and Mosaic full unroll were all tried — each
-    # multiplies Mosaic compile time to minutes for no runtime win; the loop
-    # is bound by fixed per-iteration machinery, so throughput scales with
-    # channel width instead (see module docstring).
+    # Envelope/minmax state rides in the loop carry; the IIR delay line
+    # lives in VMEM scratch.  Tuning notes: an 8-array carry, manual in-body
+    # unrolling, and Mosaic full unroll were all tried — each multiplies
+    # Mosaic compile time to minutes for no runtime win.  The per-sample
+    # dependent chain is latency-bound (~1.2 µs/sample regardless of width),
+    # so throughput scales with channel tiles instead (see module docstring).
     def sample_step(t, carry):
         yf, ys, mn, mx = carry
         xt = x_ref[t]
