@@ -205,3 +205,36 @@ class TestBfloat16:
             out = model.apply(v, jnp.asarray(x), train=False)
             assert out.dtype == jnp.float32
             assert np.isfinite(np.asarray(out)).all()
+
+
+class TestExperimentEntry:
+    def test_location_hpo_pipeline(self, tmp_path, rng):
+        """models.experiment.run_location_hpo end-to-end on a synthetic
+        MCPOSD session (train.py:22-145 equivalent) with a tiny budget."""
+        from onset_fingerprinting_tpu.core import posd
+        from onset_fingerprinting_tpu.models.experiment import (
+            run_location_hpo,
+        )
+
+        n, c = 80000, 4
+        audio = rng.normal(0, 1e-3, (n, c)).astype(np.float32)
+        onsets, locs = [], []
+        t = np.arange(400)
+        burst = (np.sin(2 * np.pi * 0.2 * t) * np.exp(-t / 100) * 0.5)
+        for i in range(16):
+            base = 2000 + i * 4800
+            audio[base : base + 400] += burst[:, None].astype(np.float32)
+            onsets.append(base)
+            locs.append([0.05 * (i % 5), 20.0 * i % 360])
+        posd.save_session(
+            tmp_path, "combined0", audio, 96000,
+            posd.make_hits(np.asarray(onsets),
+                           locations=np.asarray(locs, np.float32)),
+        )
+        study = run_location_hpo(
+            tmp_path, "combined0", w=64, channels=4, pre_samples=4,
+            n_trials=1, num_epochs=20, min_epochs=0, patience=50,
+            subsample=2,
+        )
+        assert study.best_value >= 0
+        assert "lr" in study.best_params
