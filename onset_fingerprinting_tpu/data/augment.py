@@ -10,13 +10,11 @@ bottleneck (data.py:360-366).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy import signal as _sig
 
 
 def gaussian_noise(

@@ -10,8 +10,6 @@ gather on device — the natural TPU idiom.  Random shifts use jax PRNG keys
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,6 @@ multilateration.py:319-875).  Two layers:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

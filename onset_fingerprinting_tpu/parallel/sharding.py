@@ -18,7 +18,6 @@ buffers).  The TPU equivalents here:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -21,7 +21,6 @@ optional sounddevice stream when PortAudio is present (gated import).
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

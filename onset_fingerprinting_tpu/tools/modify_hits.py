@@ -16,8 +16,6 @@ from __future__ import annotations
 import json
 import sys
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from onset_fingerprinting_tpu.core import posd as posd_io
