@@ -151,3 +151,36 @@ class TestPlots:
         )
         plots.is_legal_3d_plot(m, ([0, 1, 2], [1000, 1030, 1060]))
         plt.close("all")
+
+
+class TestMineHits:
+    def test_mine_wav_to_posd(self, tmp_path, rng):
+        from onset_fingerprinting_tpu.core.audio_io import write_wav
+        from onset_fingerprinting_tpu.tools.mine_hits import main, mine_file
+
+        n, c = 96000, 3
+        audio = rng.normal(0, 1e-4, (n, c)).astype(np.float32)
+        t = np.arange(500)
+        burst = (np.sin(2 * np.pi * 5000 / 96000 * t) * np.exp(-t / 120)
+                 * 0.5)
+        trues = []
+        for base in range(50000, n - 2000, 12000):
+            for ch in range(c):
+                audio[base + 5 * ch : base + 5 * ch + 500, ch] += (
+                    burst.astype(np.float32)
+                )
+            trues.append(base)
+        write_wav(tmp_path / "rec.wav", audio, 96000)
+        out = tmp_path / "mined"
+        jp = mine_file(tmp_path / "rec.wav", out, hipass_freq=0.0, fix=True)
+        assert jp is not None
+        session = posd_io.read_json(jp)
+        groups = posd_io.onsets_array(session["hits"])
+        assert groups.shape[1] == 3
+        assert len(groups) == len(trues)
+        for g, base in zip(sorted(groups[:, 0]), trues):
+            assert abs(g - base) < 600
+        # CLI wrapper
+        rc = main([str(tmp_path / "rec.wav"), "--out", str(out),
+                   "--hipass", "0"])
+        assert rc == 0
