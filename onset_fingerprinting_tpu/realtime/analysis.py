@@ -55,6 +55,54 @@ def tempo_frequencies(n_bins: int, hop_length: int, sr: int) -> np.ndarray:
     return 60.0 * sr / (hop_length * bins)
 
 
+# -- small streaming-utility parity helpers (loopmate.utils rebuilds; the
+#    reference imports these, recording.py:8-15 / audio.py:6) ---------------
+
+def samples_to_frames(samples, hop_length: int):
+    """Sample index → STFT frame index."""
+    return np.asarray(samples) // hop_length
+
+
+def frames_to_samples(frames, hop_length: int):
+    """STFT frame index → sample index."""
+    return np.asarray(frames) * hop_length
+
+
+def magsquared(x: np.ndarray) -> np.ndarray:
+    """|x|² for complex spectra without the sqrt of abs()."""
+    return x.real**2 + x.imag**2
+
+
+def channels_to_int(channels) -> int:
+    """Encode a channel subset as a bitmask (loopmate convention used for
+    the shared 'record_channels' word, recording.py:88-90)."""
+    mask = 0
+    for c in channels:
+        mask |= 1 << int(c)
+    return mask
+
+
+def int_to_channels(mask: int) -> list[int]:
+    out = []
+    i = 0
+    while mask:
+        if mask & 1:
+            out.append(i)
+        mask >>= 1
+        i += 1
+    return out
+
+
+def make_clave(sr: int = 96000, freq: float = 2500.0,
+               length_s: float = 0.02) -> np.ndarray:
+    """Synthesized clave click (the reference plays loopmate's CLAVE sample
+    for count-ins; here generated: exponentially-decayed sine burst)."""
+    t = np.arange(int(sr * length_s))
+    return (
+        np.sin(2 * np.pi * freq / sr * t) * np.exp(-t / (0.004 * sr))
+    ).astype(np.float32)
+
+
 def detect_onsets_online(
     onset_env: np.ndarray,
     mov_max: np.ndarray,
@@ -307,3 +355,16 @@ class OnlineAnalysis:
         from onset_fingerprinting_tpu.core.audio_io import write_wav
 
         write_wav(path, self.audio[-self.audio.N :], self.cfg.sr)
+
+    def save_audio_rotating(self, directory) -> "Path":
+        """Numbered-wav rotation dump (recording.py:371-377,597-604):
+        continues from the highest existing ``<n>.wav`` in ``directory``."""
+        from pathlib import Path
+
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        wavs = sorted(directory.glob("*.wav"))
+        nxt = int(wavs[-1].stem) + 1 if wavs else 0
+        out = directory / f"{nxt}.wav"
+        self.save_audio(out)
+        return out

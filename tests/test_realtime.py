@@ -317,3 +317,35 @@ class TestServeAppEntry:
         audio = rng.normal(0, 1e-4, (SR // 4, 3)).astype(np.float32)
         write_wav(tmp_path / "in.wav", audio, SR)
         run_wav(engine, tmp_path / "in.wav")
+
+
+class TestStreamingUtilityHelpers:
+    def test_helpers(self, tmp_path):
+        from onset_fingerprinting_tpu.realtime.analysis import (
+            channels_to_int,
+            frames_to_samples,
+            int_to_channels,
+            magsquared,
+            make_clave,
+            samples_to_frames,
+        )
+
+        assert samples_to_frames(1024, 128) == 8
+        assert frames_to_samples(8, 128) == 1024
+        assert channels_to_int([0, 2]) == 5
+        assert int_to_channels(5) == [0, 2]
+        z = np.array([3 + 4j])
+        np.testing.assert_allclose(magsquared(z), [25.0])
+        clave = make_clave(48000)
+        assert clave.dtype == np.float32 and np.abs(clave).max() > 0.3
+
+    def test_rotating_save(self, tmp_path):
+        cfg = RealtimeConfig(sr=48000, max_recording_seconds=1,
+                             n_fft=512, hop_length=256, tg_win_length=128)
+        ring = CircularArray(np.zeros((cfg.rec_n, 1), np.float32))
+        ring.write(np.random.default_rng(0).normal(
+            0, 0.1, (4800, 1)).astype(np.float32))
+        ana = OnlineAnalysis(cfg, ring)
+        p0 = ana.save_audio_rotating(tmp_path / "rec")
+        p1 = ana.save_audio_rotating(tmp_path / "rec")
+        assert p0.name == "0.wav" and p1.name == "1.wav"
