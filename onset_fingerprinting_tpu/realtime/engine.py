@@ -49,6 +49,21 @@ from onset_fingerprinting_tpu.locate.multilaterate import (
 from onset_fingerprinting_tpu.realtime.actions import Actions, Location
 
 
+@jax.jit
+def _pack_events(ev_count, ev_points, ev_onsets):
+    """Flatten (count, points, onsets) into one f32 vector so harvest costs
+    a single device→host transfer."""
+    return jnp.concatenate(
+        [
+            ev_count[None].astype(jnp.float32),
+            ev_points.reshape(-1),
+            # bit-preserving: int32 onsets exceed f32's exact-int range
+            # after ~175 s at 96 kHz
+            jax.lax.bitcast_convert_type(ev_onsets, jnp.float32),
+        ]
+    )
+
+
 class EngineState(NamedTuple):
     detector: DetectorState
     locator: LocatorState
@@ -319,9 +334,16 @@ class RealtimeEngine:
 
         Returns ``[(absolute onset sample, Location), ...]``; the caller
         dispatches them (e.g. ``engine.actions.run`` against the next output
-        buffer).
+        buffer).  One packed device→host transfer per call — transfers are
+        the expensive primitive on remote TPUs.
         """
-        count = int(self.state.ev_count)
+        packed = np.asarray(
+            _pack_events(
+                self.state.ev_count, self.state.ev_points,
+                self.state.ev_onsets,
+            )
+        )
+        count = int(packed[0])
         new = count - self._harvested
         if new <= 0:
             return []
@@ -329,8 +351,8 @@ class RealtimeEngine:
         if new > eq:  # queue overflow: oldest events were overwritten
             self._harvested = count - eq
             new = eq
-        points = np.asarray(self.state.ev_points)
-        onsets = np.asarray(self.state.ev_onsets)
+        points = packed[1 : 1 + 2 * eq].reshape(eq, 2)
+        onsets = packed[1 + 2 * eq :].view(np.int32)
         out = []
         for k in range(self._harvested, count):
             slot = k % eq
