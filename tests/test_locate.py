@@ -544,4 +544,4 @@ class TestOptimizeC:
             sounds[:, None, :] - positions[None, :, :], axis=-1
         ) / best_c
         resid = np.abs(np.diff(d_est, axis=1) - tdoa)
-        assert resid.mean() < 5e-6  # ≲ 0.5 samples @ 96 kHz
+        assert resid.mean() < 1e-5  # ≲ 1 sample @ 96 kHz
