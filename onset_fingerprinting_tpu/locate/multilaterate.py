@@ -481,7 +481,10 @@ def build_locator_tables(m: Multilaterate3D):
 
 
 def make_locate_update(
-    m: Multilaterate3D, capacity: int = 8, cc_refine: bool = False
+    m: Multilaterate3D,
+    capacity: int = 8,
+    cc_refine: bool = False,
+    model=None,
 ):
     """Build a jitted locate step.
 
@@ -501,6 +504,11 @@ def make_locate_update(
     legality, 3-way completion via joint lag-map feasibility (argmax cell as
     the Newton initial guess), trilateration on completion, seed dedup, slot
     eviction of stale groups.
+
+    ``model``: optional ``models.fcnn.FCNNBundle`` — replaces the Newton
+    solve with the learned lags→(x, y) model inside the same device program
+    (the reference calls its torch FCNN on host per hit,
+    multilateration.py:555-557).
     """
     from onset_fingerprinting_tpu.detect.refine import cc_refine_lag_jax
 
@@ -598,7 +606,20 @@ def make_locate_update(
         guess = cell - radius
         triple = jnp.stack([xyz[s0], xyz[s1], xyz[sensor]])
         deltas = jnp.stack([lag1, lag2]) * c_over_sr
-        point, solved = solve_tdoa(triple, deltas, guess)
+        if model is not None:
+            # learned trilateration bypass (multilateration.py:555-557):
+            # FCNN maps the lag pair → meters; our scale is cm.  Fully
+            # jittable — no host round-trip, unlike the reference's
+            # torch call_np in the audio callback.
+            pred = model.model.apply(
+                model.variables,
+                jnp.stack([lag1, lag2])[None, :],
+                train=False,
+            )[0]
+            point = pred * 100.0
+            solved = jnp.all(jnp.isfinite(point))
+        else:
+            point, solved = solve_tdoa(triple, deltas, guess)
         emit = any_complete & grid_ok & solved
 
         # --- state update

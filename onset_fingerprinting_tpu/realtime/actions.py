@@ -50,7 +50,13 @@ class FxParams:
 @dataclass
 class Location:
     """A hit location; fills in whichever of (x, y) / (r, phi°) is missing
-    (actions.py:161-177)."""
+    (actions.py:161-177).
+
+    Deviation: the reference normalizes r by |xy| itself (actions.py:172-174),
+    so its r is always 1.0 and its ``radius`` field is dead.  Here r is the
+    drum-radius fraction when ``radius`` is given (the engine passes the
+    locator's), else the raw distance — so r-Bounds actually discriminate.
+    """
 
     x: Optional[float] = None
     y: Optional[float] = None
@@ -63,9 +69,7 @@ class Location:
             x, y = polar_to_cartesian(self.r, self.phi)
             self.x, self.y = float(x), float(y)
         else:
-            r, phi = cartesian_to_polar(
-                self.x, self.y, r=np.sqrt(self.x**2 + self.y**2)
-            )
+            r, phi = cartesian_to_polar(self.x, self.y, r=self.radius)
             self.r, self.phi = float(r), float(phi)
 
     def __repr__(self):

@@ -95,12 +95,16 @@ def make_engine_step(
     use_pallas: bool = False,
     event_queue: int = 64,
     cc_refine: bool = False,
+    model=None,
 ):
     """Build (initial EngineState, jitted step fn).
 
     The locator's lag maps and geometry are baked in as device constants.
     ``use_pallas`` swaps the per-block detector for the fused Pallas kernel
-    (TPU only; the XLA-scan path is the portable default).
+    (TPU only; the XLA-scan path is the portable default).  ``model`` (an
+    ``FCNNBundle``) swaps the Newton trilateration for the learned lags→xy
+    model *inside* the fused program — the reference instead round-trips to
+    a torch FCNN on host per hit (multilateration.py:555-557).
     """
     static, params, dstate = detector_init(cfg)
     if use_pallas:
@@ -121,7 +125,7 @@ def make_engine_step(
         def detect_fn(params_, st, block):
             return detect_block(static, params_, st, block)
     locate_update = make_locate_update(
-        locator, capacity=capacity, cc_refine=cc_refine
+        locator, capacity=capacity, cc_refine=cc_refine, model=model
     )
     win_len = getattr(locate_update, "window_len", 0)
     c = cfg.n_channels
@@ -245,6 +249,7 @@ class RealtimeEngine:
         host_ring: Optional[CircularArray] = None,
         use_pallas: bool = False,
         metrics=None,
+        model=None,
     ):
         self.cfg = cfg
         self.locator = locator
@@ -252,7 +257,7 @@ class RealtimeEngine:
         self.fx = list(fx)
         self.monitor_channels = monitor_channels
         self.state, self.params, self._step = make_engine_step(
-            cfg, locator, ring_seconds, use_pallas=use_pallas
+            cfg, locator, ring_seconds, use_pallas=use_pallas, model=model
         )
         self.host_ring = host_ring
         self.current_index = 0

@@ -69,7 +69,9 @@ def build_engine(
     b = Bounds(phi=[0, 360])
     pm = ParameterMapper.from_bounds_fx(b, fx, "phi", ["svf_cutoff_hz"])
     actions.append(ParameterChange([b], fx, [pm]))
-    return RealtimeEngine(cfg, locator, actions=actions, fx=[fx])
+    # the saved FCNN runs *inside* the fused device step (learned
+    # trilateration bypass) — no per-hit host round-trip
+    return RealtimeEngine(cfg, locator, actions=actions, fx=[fx], model=model)
 
 
 def run_wav(engine: RealtimeEngine, wav: str | Path) -> None:

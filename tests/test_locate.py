@@ -275,6 +275,41 @@ class TestJittableLocator:
         for (x, y), p in zip(hits, found):
             assert np.hypot(p[0] - x, p[1] - y) < 1.0
 
+    def test_model_bypass(self):
+        """model= replaces the Newton solve with the FCNN, in-device."""
+        import jax
+        from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
+
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        net = FCNN(output_size=2, hidden_layers=(4,), batch_norm=False)
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 2), jnp.float32), train=False)
+        bundle = FCNNBundle(net, variables)
+        update = make_locate_update(m, model=bundle)
+        state = locator_init(8)
+        c = speed_of_sound(100, medium="drumhead")
+        x, y = 3.0, 2.0
+        base = 10000
+        d = [np.hypot(x - sx, y - sy) for (sx, sy, _) in xyz]
+        events = sorted(
+            (base + int(round(d[ch] / c * SR)), ch) for ch in range(3)
+        )
+        found = []
+        for onset, ch in events:
+            state, point, emit = update(
+                state, jnp.int32(ch), jnp.int32(onset)
+            )
+            if bool(emit):
+                found.append(np.asarray(point))
+        assert len(found) == 1
+        # expected: FCNN prediction (meters) * 100 — not the Newton answer
+        lags = [events[1][0] - events[0][0], events[2][0] - events[0][0]]
+        expected = bundle.call_np(lags) * 100.0
+        np.testing.assert_allclose(found[0], expected, rtol=1e-5)
+
 
 class TestCalibration:
     def test_calibration_locations(self):

@@ -35,6 +35,12 @@ class TestLocationBounds:
         loc = Location(x=1.0, y=1.0)
         assert np.isclose(loc.phi, 45.0)
 
+    def test_location_r_normalization(self):
+        # raw distance without a drum radius; radius-fraction with one
+        # (the reference's r is always 1.0 — actions.py:172-174 quirk)
+        assert np.isclose(Location(x=3.0, y=4.0).r, 5.0)
+        assert np.isclose(Location(x=3.0, y=4.0, radius=10.0).r, 0.5)
+
     def test_location_from_polar(self):
         loc = Location(r=2.0, phi=90.0)
         assert np.isclose(loc.x, 0.0, atol=1e-6)
