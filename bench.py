@@ -42,12 +42,13 @@ def main() -> int:
     sr = 96000
     seconds = 1
     channels_per_stream = 4
-    # 1024 4-ch streams = 4096 detector channels (32 lane-tiles): compile
-    # ~50 s, throughput ~6000x realtime; C=8192 compiles too slowly on this
-    # toolchain and C=16384 exceeds VMEM.  Override via OFPTPU_BENCH_STREAMS.
+    # 2048 4-ch streams = 8192 detector channels (64 lane-tiles): compile
+    # ~57 s, ~13000x realtime measured (events-only mode; the kernel is
+    # latency-bound so throughput scales with width).  C=16384 exceeds VMEM.
+    # Override via OFPTPU_BENCH_STREAMS.
     import os
 
-    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "1024"))
+    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "2048"))
     c = n_streams * channels_per_stream
     t = sr * seconds
 
@@ -72,7 +73,7 @@ def main() -> int:
     def run_pallas():
         # events-only mode: skip the full rel-envelope output (bench measures
         # the detection workload; rel is a debug/analysis output). Compile
-        # ~50-100 s at this width; measured 6299x realtime on v5e.
+        # ~57 s at this width; measured 12960x realtime (C=8192).
         _, _, state, run = make_pallas_detector(cfg, emit_rel=False)
         xd = jnp.asarray(x)
         t0 = time.perf_counter()

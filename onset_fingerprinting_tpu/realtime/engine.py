@@ -92,7 +92,7 @@ def make_engine_step(
     locator: Multilaterate3D,
     ring_seconds: float = 2.0,
     capacity: int = 8,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     event_queue: int = 64,
     cc_refine: bool = False,
     model=None,
@@ -101,11 +101,14 @@ def make_engine_step(
 
     The locator's lag maps and geometry are baked in as device constants.
     ``use_pallas`` swaps the per-block detector for the fused Pallas kernel
-    (TPU only; the XLA-scan path is the portable default).  ``model`` (an
+    (~4x faster block step); default (None) auto-selects it on TPU and the
+    portable XLA-scan path elsewhere.  ``model`` (an
     ``FCNNBundle``) swaps the Newton trilateration for the learned lags→xy
     model *inside* the fused program — the reference instead round-trips to
     a torch FCNN on host per hit (multilateration.py:555-557).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     static, params, dstate = detector_init(cfg)
     if use_pallas:
         from onset_fingerprinting_tpu.ops.pallas_detector import (
@@ -247,7 +250,7 @@ class RealtimeEngine:
         ring_seconds: float = 2.0,
         monitor_channels: int = 2,
         host_ring: Optional[CircularArray] = None,
-        use_pallas: bool = False,
+        use_pallas: bool | None = None,
         metrics=None,
         model=None,
     ):

@@ -75,7 +75,15 @@ def build_engine(
 
 
 def run_wav(engine: RealtimeEngine, wav: str | Path) -> None:
-    """Stream a WAV through the native executor at audio rate."""
+    """Stream a WAV through the native executor at audio rate.
+
+    Async serve shape: the audio thread runs the fused device program with
+    NO host readback (``process_nosync``); located hits accumulate in the
+    device-side event queue and are drained by the producer thread
+    (``harvest`` — one packed transfer), which dispatches actions.  On a
+    tunneled TPU this keeps the block step ~1.2 ms vs ~30 ms for a
+    sync readback per block.
+    """
     from onset_fingerprinting_tpu.core.audio_io import read_wav
     from onset_fingerprinting_tpu.runtime_native import (
         NativeExecutor,
@@ -86,25 +94,35 @@ def run_wav(engine: RealtimeEngine, wav: str | Path) -> None:
     if audio.ndim == 1:
         audio = audio[:, None]
     c = engine.cfg.n_channels
+    bsz = engine.cfg.block_size
     audio = audio[:, :c]
-    engine.process(np.zeros((engine.cfg.block_size, c), np.float32))
+    # force compile before the stream starts
+    engine.process_nosync(np.zeros((bsz, c), np.float32))
+    engine.harvest()
 
     def on_block(block, idx):
-        _, locs = engine.process(block)
-        for loc in locs:
-            print(f"hit @ block {idx}: {loc}")
+        engine.process_nosync(block)
+
+    out_buf = np.zeros((bsz, engine.monitor_channels), np.float32)
+
+    def drain():
+        for onset, loc in engine.harvest():
+            print(f"hit @ sample {onset}: {loc}")
+            engine.actions.run(out_buf, loc)
 
     ring = NativeRing(sr * 4, c)
-    ex = NativeExecutor(ring, engine.cfg.block_size, on_block,
-                        sample_rate=float(sr))
+    ex = NativeExecutor(ring, bsz, on_block, sample_rate=float(sr))
     ex.start()
     chunk = 4096
     for i in range(0, len(audio) - chunk + 1, chunk):
         ring.write(audio[i : i + chunk])
         time.sleep(chunk / sr)
-    while ring.readable >= engine.cfg.block_size:
+        drain()
+    while ring.readable >= bsz:
         time.sleep(0.05)
+        drain()
     ex.stop()
+    drain()
     stats = ex.latency_stats()
     print(
         f"{ex.blocks_processed} blocks, {ex.deadline_misses} deadline misses, "
@@ -117,7 +135,12 @@ def main():  # pragma: no cover - CLI
     ap.add_argument("setup_dir")
     ap.add_argument("--wav", default=None, help="stream a wav instead of live audio")
     ap.add_argument("--sr", type=int, default=96000)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     engine = build_engine(args.setup_dir, sr=args.sr)
     if args.wav:
