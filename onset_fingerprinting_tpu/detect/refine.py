@@ -24,6 +24,19 @@ from onset_fingerprinting_tpu.ops.xcorr import (
 )
 
 
+def _cc_section(window, pos0, lookaround):
+    """The reference's section prep (multilateration.py:465-474): trim
+    before the seed, median filter, keep only downward motion, rectify."""
+    from onset_fingerprinting_tpu.ops.filters import median_filter_1d
+
+    w = window.shape[0]
+    row = jnp.arange(w)[:, None]
+    x = jnp.where(row >= pos0 - lookaround, window.astype(jnp.float32), 0.0)
+    x = median_filter_1d(x, 5)
+    d = jnp.diff(x, axis=0)
+    return jnp.abs(jnp.where(d >= 0, 0.0, d))
+
+
 @partial(jax.jit, static_argnames=(
     "lookaround", "onset_tolerance", "normalization_cutoff"
 ))
@@ -46,14 +59,7 @@ def cc_refine_lag_jax(
     :param pos1: window-relative position of the new onset
     :returns: ``(refined lag pos1' - pos0, valid)``
     """
-    from onset_fingerprinting_tpu.ops.filters import median_filter_1d
-
-    w = window.shape[0]
-    row = jnp.arange(w)[:, None]
-    x = jnp.where(row >= pos0 - lookaround, window.astype(jnp.float32), 0.0)
-    x = median_filter_1d(x, 5)
-    d = jnp.diff(x, axis=0)
-    d = jnp.abs(jnp.where(d >= 0, 0.0, d))
+    d = _cc_section(window, pos0, lookaround)
     lag, cc_valid = cross_correlation_lag_jax(
         d[:, 0],
         d[:, 1],
@@ -64,9 +70,66 @@ def cc_refine_lag_jax(
     in_bounds = (
         (pos0 >= lookaround)
         & (pos1 > pos0)
-        & (pos1 < w - 1)
+        & (pos1 < window.shape[0] - 1)
     )
     return lag, cc_valid & in_bounds
+
+
+@partial(jax.jit, static_argnames=(
+    "lookaround", "onset_tolerance", "normalization_cutoff"
+))
+def cc_refine_adjust_jax(
+    window: jnp.ndarray,
+    pos0: jnp.ndarray,
+    pos1: jnp.ndarray,
+    lookaround: int = 60,
+    onset_tolerance: int = 50,
+    normalization_cutoff: int = 10,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CC refinement + the reference's energy heuristic (adjust_onset,
+    detection.py:299-352): decide which onset of the pair to move toward the
+    CC lag by comparing exponentially-weighted rectified energy between each
+    onset's old and CC-implied position.
+
+    Fixed-shape device twin of :func:`adjust_onset` over the same prepared
+    section used for the CC itself (multilateration.py:491-499).  The shift
+    magnitude is bounded by ``onset_tolerance`` (the CC search window), so
+    the weight vector has static length.
+
+    :returns: ``(c_seed, c_new, valid)`` — corrections to add to the seed
+        (pos0) and new (pos1) onsets; exactly one is nonzero.
+    """
+    d = _cc_section(window, pos0, lookaround)
+    x, y = d[:, 0], d[:, 1]
+    lag, cc_valid = cross_correlation_lag_jax(
+        x, y,
+        jnp.stack([pos0, pos1]),
+        onset_tolerance=onset_tolerance,
+        normalization_cutoff=normalization_cutoff,
+    )
+    in_bounds = (
+        (pos0 >= lookaround) & (pos1 > pos0) & (pos1 < window.shape[0] - 1)
+    )
+    ld = (pos1 - pos0) - lag  # |ld| <= onset_tolerance by CC construction
+    k = jnp.arange(onset_tolerance + 1)
+    n = jnp.abs(ld)
+    act = (k < n).astype(jnp.float32)
+    denom = jnp.maximum(n - 1, 1).astype(jnp.float32)
+    # host adjust_onset: x window weighted exp(linspace(0,-e,n)) descending
+    # from its start; y window the same weights reversed (ascending to 1 at
+    # its end)
+    w_desc = jnp.exp(-jnp.e * k / denom) * act
+    w_asc = jnp.exp(-jnp.e * (n - 1 - k) / denom) * act
+    sx = jnp.minimum(pos0, pos0 + ld)
+    sy = jnp.minimum(pos1, pos1 - ld)
+    xa = jnp.take(x, sx + k, mode="clip")
+    ya = jnp.take(y, sy + k, mode="clip")
+    da = jnp.sum(xa * w_desc) / jnp.maximum(jnp.max(x), 1e-20)
+    db = jnp.sum(ya * w_asc) / jnp.maximum(jnp.max(y), 1e-20)
+    move_seed = (da > db) & (pos0 + ld >= 0)
+    c_seed = jnp.where(move_seed, ld, 0).astype(jnp.int32)
+    c_new = jnp.where(move_seed, 0, -ld).astype(jnp.int32)
+    return c_seed, c_new, cc_valid & in_bounds
 
 
 def adjust_onset_rel(

@@ -494,10 +494,10 @@ def make_locate_update(
     ending 'now' (use ``update.window_len``) — and refines the incoming
     onset against the candidate group's seed by masked cross-correlation
     before the legality checks, the jittable equivalent of the reference's
-    live-buffer refinement (multilateration.py:457-501).  Deviation: the
-    refined lag always moves the *new* onset (the reference's energy
-    heuristic may move the seed instead); trilateration consumes only lags,
-    so completed-hit positions are unaffected.
+    live-buffer refinement (multilateration.py:457-501), including the
+    energy heuristic that may move the *seed* instead of the new onset
+    (adjust_onset) and the seed swap when refinement puts the new onset
+    first (multilateration.py:443-449).
 
     Captures the locator's lag maps/sensor geometry as device constants.
     Semantics follow Multilaterate3D.locate: group join on pairwise
@@ -510,7 +510,7 @@ def make_locate_update(
     (the reference calls its torch FCNN on host per hit,
     multilateration.py:555-557).
     """
-    from onset_fingerprinting_tpu.detect.refine import cc_refine_lag_jax
+    from onset_fingerprinting_tpu.detect.refine import cc_refine_adjust_jax
 
     maps, min_l, max_l, mml, xyz = build_locator_tables(m)
     radius = float(m.radius)
@@ -554,14 +554,27 @@ def make_locate_update(
             pair = jnp.stack(
                 [window[:, s0], window[:, sensor]], axis=1
             )
-            new_lag, ok = cc_refine_lag_jax(
+            c_seed, c_new, ok = cc_refine_adjust_jax(
                 pair, pos0, pos1,
                 lookaround=LOOKAROUND,
                 onset_tolerance=ONSET_TOL,
                 normalization_cutoff=NORM_CUTOFF,
             )
-            onset = jnp.where(
-                jnp.any(cand) & ok, o0 + new_lag.astype(jnp.int32), onset
+            # energy heuristic moves either the seed or the new onset
+            # (adjust_onset, multilateration.py:491-499)
+            do = jnp.any(cand) & ok
+            onset = onset + jnp.where(do, c_new, 0)
+            seed_onset = o0 + jnp.where(do, c_seed, 0)
+            # if the refined new onset now precedes the seed, swap them —
+            # the earlier onset must seed the group (multilateration.py:443-449)
+            neg = do & (onset < seed_onset)
+            new_seed_s = jnp.where(neg, sensor, state.sensors[gj, 0])
+            new_seed_o = jnp.where(neg, onset, seed_onset)
+            sensor = jnp.where(neg, s0, sensor)
+            onset = jnp.where(neg, seed_onset, onset)
+            state = state._replace(
+                sensors=state.sensors.at[gj, 0].set(new_seed_s),
+                onsets=state.onsets.at[gj, 0].set(new_seed_o),
             )
 
         lag = (onset - state.onsets[:, 0]).astype(jnp.float32)  # [G]

@@ -514,6 +514,115 @@ class TestJittableCCRefinement:
         assert len(found) == 1
         assert np.hypot(found[0][0] - x, found[0][1] - y) < 0.5
 
+    def test_adjust_matches_host_energy_heuristic(self):
+        """cc_refine_adjust_jax == host cross_correlation_lag + adjust_onset
+        on the same prepared section (detection.py:299-352 parity)."""
+        import jax.numpy as jnp
+        from scipy.ndimage import median_filter
+
+        from onset_fingerprinting_tpu.detect.refine import (
+            adjust_onset,
+            cc_refine_adjust_jax,
+        )
+        from onset_fingerprinting_tpu.ops.xcorr import cross_correlation_lag
+
+        rng = np.random.default_rng(3)
+        w = 1024
+        t = np.arange(300)
+        burst = np.sin(2 * np.pi * 4000 / SR * t) * np.exp(-t / 100)
+        lookaround, tol, cutoff = 60, 50, 10
+        for jit0, jit1 in [(0, 22), (15, 0), (0, -18), (-8, 6)]:
+            win = rng.normal(0, 1e-5, (w, 2)).astype(np.float32)
+            t0, t1 = 400, 430  # true onsets
+            win[t0: t0 + 300, 0] += burst.astype(np.float32)
+            win[t1: t1 + 300, 1] += burst.astype(np.float32)
+            pos0, pos1 = t0 + jit0, t1 + jit1
+            # host pipeline on the identically prepared section
+            sec = win.copy()
+            sec[: pos0 - lookaround] = 0.0
+            sec = np.diff(median_filter(sec, size=(5, 1)), axis=0)
+            sec[sec >= 0] = 0.0
+            sec = np.abs(sec)
+            lag = cross_correlation_lag(
+                sec[:, 0], sec[:, 1], [pos0, pos1],
+                onset_tolerance=tol, normalization_cutoff=cutoff,
+            )
+            assert lag is not None
+            ca, cb = adjust_onset([pos0, pos1], sec[:, 0], sec[:, 1], lag)
+            ja, jb, ok = cc_refine_adjust_jax(
+                jnp.asarray(win), jnp.int32(pos0), jnp.int32(pos1),
+                lookaround=lookaround, onset_tolerance=tol,
+                normalization_cutoff=cutoff,
+            )
+            assert bool(ok), (jit0, jit1)
+            assert (int(ja), int(jb)) == (ca, cb), (jit0, jit1)
+
+    def test_swap_when_refined_onset_precedes_seed(self):
+        """A late-detected second sensor whose true onset precedes the seed's
+        is swapped into the seed slot (multilateration.py:443-449); the hit
+        still completes with an accurate position."""
+        import jax.numpy as jnp
+
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        c = speed_of_sound(100, medium="drumhead")
+        rng = np.random.default_rng(4)
+
+        # hit toward sensor 1, close enough to center that sensor 1 leads
+        # the others by only ~25-40 samples (within the CC search window)
+        s1 = np.array(xyz[1][:2])
+        x = y = None
+        for frac in np.linspace(0.05, 0.95, 19):
+            p = frac * s1
+            d = [np.hypot(p[0] - ax, p[1] - ay) for (ax, ay, _) in xyz]
+            lead = (d[0] - d[1]) / c * SR
+            if 25 <= lead <= 40:
+                x, y = float(p[0]), float(p[1])
+                break
+        assert x is not None
+        n = 6000
+        audio = rng.normal(0, 1e-5, (n, 3)).astype(np.float32)
+        t = np.arange(500)
+        burst = np.sin(2 * np.pi * 4000 / SR * t) * np.exp(-t / 120)
+        base = 3000
+        true_onsets = []
+        for ch, (ax, ay, _) in enumerate(xyz):
+            d = np.hypot(x - ax, y - ay)
+            onset = base + int(round(d / c * SR))
+            audio[onset: onset + 500, ch] += burst.astype(np.float32)
+            true_onsets.append(onset)
+        # sensor 1 is truly earliest but detected LATE, so sensor 0 arrives
+        # first and seeds the group; refinement must swap them
+        assert min(true_onsets) == true_onsets[1]
+        jitter = [0, true_onsets[0] - true_onsets[1] + 6, 0]
+        assert jitter[1] <= 50  # within the CC onset tolerance
+        events = sorted(
+            ((true_onsets[ch] + jitter[ch], ch) for ch in range(3)),
+            key=lambda e: (e[0], e[1]),
+        )
+        assert events[0][1] == 0  # detection order puts sensor 0 first
+
+        upd = make_locate_update(m, cc_refine=True)
+        state = locator_init(8)
+        w = upd.window_len
+        found = []
+        for onset, ch in events:
+            end = onset + 128
+            pad = np.zeros((max(w - end, 0), 3), np.float32)
+            win = np.concatenate([pad, audio[max(end - w, 0):end]])
+            state, point, emit = upd(
+                state, jnp.int32(ch), jnp.int32(onset),
+                jnp.asarray(win), jnp.int32(end - w),
+            )
+            if bool(emit):
+                found.append(np.asarray(point))
+        assert len(found) == 1
+        # near-center hits have shallow lag gradients; match the host CC
+        # refinement test's 2.5 cm bar
+        assert np.hypot(found[0][0] - x, found[0][1] - y) < 2.5
+
 
 class TestIntensityMaps:
     def test_lag_intensity_map(self):
