@@ -324,6 +324,56 @@ class TestServeAppEntry:
         write_wav(tmp_path / "in.wav", audio, SR)
         run_wav(engine, tmp_path / "in.wav")
 
+    def test_setup_model_runs_in_device_step(self, tmp_path, rng):
+        """A setup dir's saved FCNN replaces the Newton solve INSIDE the
+        fused engine step (the reference calls torch on host per hit,
+        multilateration.py:555-557): with a constant-output model, every
+        emitted location is the model's prediction."""
+        import jax
+        import jax.numpy as jnp
+
+        from onset_fingerprinting_tpu.core.coords import (
+            speed_of_sound,
+            spherical_to_cartesian,
+        )
+        from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
+        from onset_fingerprinting_tpu.realtime.main import build_engine
+
+        margs = {"output_size": 2, "hidden_layers": [4], "batch_norm": False}
+        net = FCNN(**margs)
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 2), jnp.float32), train=False)
+        variables = jax.tree.map(lambda a: a * 0, variables)
+        params = dict(variables["params"])
+        last = sorted(params)[-1]
+        params[last] = dict(params[last], bias=jnp.array([0.05, -0.03]))
+        bundle = FCNNBundle(net, {"params": params})
+        locs = [[0.9, 0, 0], [0.9, 120, 0], [0.9, 240, 0]]
+        save_setup(locs, "drumhead", None, bundle, margs, tmp_path)
+        engine = build_engine(tmp_path, sr=SR)
+
+        # synthesize one hit at (3, 2) cm
+        radius = engine.locator.radius
+        xyz = [spherical_to_cartesian(0.9 * radius, p, 0) for p in
+               (0, 120, 240)]
+        c = speed_of_sound(100, medium="drumhead")
+        audio = rng.normal(0, 1e-4, (SR // 4, 3)).astype(np.float32)
+        t = np.arange(600)
+        burst = (np.sin(2 * np.pi * 5000 / SR * t) * np.exp(-t / 150)
+                 * 0.6).astype(np.float32)
+        for ch, (sx, sy, _) in enumerate(xyz):
+            d = np.hypot(3.0 - float(sx), 2.0 - float(sy))
+            s = 6000 + int(round(d / c * SR))
+            audio[s: s + 600, ch] += burst
+        found = []
+        for i in range(0, len(audio) - 128 + 1, 128):
+            _, hit_locs = engine.process(audio[i: i + 128])
+            found.extend(hit_locs)
+        assert len(found) == 1
+        # the constant model output (meters) * 100, NOT the Newton (3, 2)
+        np.testing.assert_allclose([found[0].x, found[0].y], [5.0, -3.0],
+                                   atol=1e-4)
+
 
 class TestStreamingUtilityHelpers:
     def test_helpers(self, tmp_path):
