@@ -42,13 +42,14 @@ def main() -> int:
     sr = 96000
     seconds = 1
     channels_per_stream = 4
-    # 2048 4-ch streams = 8192 detector channels (64 lane-tiles): compile
-    # ~57 s, ~13000x realtime measured (events-only mode; the kernel is
-    # latency-bound so throughput scales with width).  C=16384 exceeds VMEM.
+    # 1024 4-ch streams = 4096 detector channels (32 lane-tiles) is the
+    # throughput sweet spot: ~164 ms/s-audio (~6300x realtime), flat from
+    # C=512 up (latency-bound chain, width rides free).  C=8192 falls off a
+    # VMEM cliff (2.17 s/s-audio, ~940x — spills); C=16384 VMEM-OOMs.
     # Override via OFPTPU_BENCH_STREAMS.
     import os
 
-    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "2048"))
+    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "1024"))
     c = n_streams * channels_per_stream
     t = sr * seconds
 
@@ -73,7 +74,7 @@ def main() -> int:
     def run_pallas():
         # events-only mode: skip the full rel-envelope output (bench measures
         # the detection workload; rel is a debug/analysis output). Compile
-        # ~57 s at this width; measured 12960x realtime (C=8192).
+        # ~30-60 s at this width; measured 6299x realtime (C=4096).
         _, _, state, run = make_pallas_detector(cfg, emit_rel=False)
         xd = jnp.asarray(x)
         t0 = time.perf_counter()
