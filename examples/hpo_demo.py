@@ -1,0 +1,120 @@
+"""Location-model HPO end-to-end on TPU over a synthetic MCPOSD session.
+
+Equivalent of running the reference's training entry with its optuna study
+(reference: train.py:22-145) — here `models.experiment.run_location_hpo`
+drives `models.hpo.Study` (random search + median pruning) over CCCNN
+configs, with every training step jitted on the TPU.
+
+The synthetic session is physically consistent: hits at known drum
+positions produce per-channel burst arrivals whose lags encode the
+position, so the CCCNN's cross-correlation features have real signal to
+learn from.
+
+Run: python examples/hpo_demo.py [--cpu] [--trials 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from onset_fingerprinting_tpu.core import posd
+from onset_fingerprinting_tpu.core.coords import (
+    polar_to_cartesian,
+    speed_of_sound,
+    spherical_to_cartesian,
+)
+from onset_fingerprinting_tpu.models.experiment import run_location_hpo
+
+SR = 96000
+DIAM = 14 * 2.54
+
+
+def synth_session(folder: Path, n_hits: int = 48, seed: int = 0) -> None:
+    radius = DIAM / 2
+    polar = [(0.9, 0.0, 0.0), (0.9, 90.0, 0.0), (0.9, 180.0, 0.0),
+             (0.9, 270.0, 0.0)]
+    xyz = [
+        tuple(float(v) for v in spherical_to_cartesian(r * radius, phi, th))
+        for (r, phi, th) in polar
+    ]
+    # air-speed TDOA: the full inter-sensor lag spread (~84 samples across
+    # the drum) fits inside the 256-sample extraction frame, so the CCCNN
+    # sees every channel's burst (drumhead wave speed would put far
+    # channels ~770 samples out — beyond the frame)
+    c = speed_of_sound(100, medium="air")  # cm/s
+    rng = np.random.default_rng(seed)
+    n = 4000 * n_hits + 8000
+    audio = rng.normal(0, 1e-4, (n, 4)).astype(np.float32)
+    t = np.arange(500)
+    burst = (np.sin(2 * np.pi * 5000 / SR * t) * np.exp(-t / 130)
+             * 0.6).astype(np.float32)
+    onsets, locs = [], []
+    for i in range(n_hits):
+        base = 4000 + i * 4000
+        r = rng.uniform(0.1, 0.9)
+        phi = rng.uniform(0, 360)
+        x, y = polar_to_cartesian(r * radius, phi)
+        delays = []
+        for ch, (sx, sy, _) in enumerate(xyz):
+            d = np.hypot(float(x) - sx, float(y) - sy)
+            delay = int(round(d / c * SR))
+            delays.append(delay)
+            audio[base + delay: base + delay + 500, ch] += burst
+        onsets.append(base + min(delays))
+        # cartesian cm targets (continuous — no phi wraparound seam)
+        locs.append([float(x), float(y)])
+    posd.save_session(
+        folder, "combined0", audio, SR,
+        posd.make_hits(np.asarray(onsets),
+                       locations=np.asarray(locs, np.float32)),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    with tempfile.TemporaryDirectory() as td:
+        folder = Path(td)
+        synth_session(folder)
+        t0 = time.perf_counter()
+        study = run_location_hpo(
+            folder, "combined0", w=256, channels=4, pre_samples=8,
+            n_trials=args.trials, num_epochs=args.epochs, min_epochs=0,
+            patience=args.epochs, subsample=1,
+        )
+        el = time.perf_counter() - t0
+    print(f"{args.trials} trials x {args.epochs} epochs in {el:.1f}s")
+    print(f"best test L1: {study.best_value:.3f} cm "
+          f"(predict-mean baseline ~6.7 cm; converged accuracy needs a real"
+          f" dataset + the reference's full budget — train.py ran hours on"
+          f" 1240 real hits)")
+    print(f"best params: {study.best_params}")
+    states = [t.state for t in study.results]
+    print(f"trial states: {states}")
+    # the demo validates the PIPELINE (study, pruning, scanned fit on TPU)
+    ok = any(s == "complete" for s in states) and np.isfinite(
+        study.best_value
+    )
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

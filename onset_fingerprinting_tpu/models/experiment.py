@@ -87,15 +87,17 @@ def run_location_hpo(
             ),
             mesh=mesh,
         )
-        # pruning checkpoints every 10% of the budget
+        # pruning checkpoints every 10% of the budget; training CONTINUES
+        # across chunks (state threaded through), and each chunk runs as
+        # one scanned device dispatch — per-epoch host syncs would dominate
+        # on a remote TPU
         chunk = max(num_epochs // 10, 1)
         state = None
         for step in range(10):
-            if state is None:
-                state = trainer.fit(train, val, num_epochs=chunk)
-            else:
-                # continue from best state with a fresh short fit
-                state = trainer.fit(train, val, num_epochs=chunk)
+            state = trainer.fit(
+                train, val, num_epochs=chunk, state=state,
+                epochs_per_step=chunk,
+            )
             monitor = trainer.history["val_loss"][-1]
             trial.report(monitor, step)
             if trial.should_prune():

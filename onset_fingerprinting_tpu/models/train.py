@@ -150,44 +150,78 @@ class Trainer:
             return out, updates.get("batch_stats", batch_stats)
         return self.model.apply(variables, x, **kwargs), batch_stats
 
+    def _train_step_body(self, state: TrainState, x, y):
+        rng, drop = jax.random.split(state.rng)
+
+        def loss_of(params):
+            out, bs = self._apply(
+                params, state.batch_stats, x, True, drop
+            )
+            return self.loss_fn(out, y), bs
+
+        (loss, bs), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, bs, opt_state, rng, state.step + 1),
+            loss,
+        )
+
     def make_train_step(self):
-        def train_step(state: TrainState, x, y):
-            rng, drop = jax.random.split(state.rng)
-
-            def loss_of(params):
-                out, bs = self._apply(
-                    params, state.batch_stats, x, True, drop
+        if getattr(self, "_jit_train_step", None) is None:
+            if self.mesh is not None:
+                dsh = NamedSharding(self.mesh, P("data"))
+                rep = NamedSharding(self.mesh, P())
+                self._jit_train_step = jax.jit(
+                    self._train_step_body,
+                    in_shardings=(rep, dsh, dsh),
+                    out_shardings=(rep, rep),
                 )
-                return self.loss_fn(out, y), bs
+            else:
+                self._jit_train_step = jax.jit(self._train_step_body)
+        return self._jit_train_step
 
-            (loss, bs), grads = jax.value_and_grad(loss_of, has_aux=True)(
-                state.params
-            )
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            params = optax.apply_updates(state.params, updates)
-            return (
-                TrainState(params, bs, opt_state, rng, state.step + 1),
-                loss,
-            )
+    def make_train_many(self, k: int):
+        """K full-batch epochs in ONE device dispatch (lax.scan) — on a
+        remote/tunneled TPU the per-epoch host sync (~tens of ms RTT)
+        otherwise dominates small-model training."""
+        cache = getattr(self, "_jit_train_many", None)
+        if cache is None:
+            cache = self._jit_train_many = {}
+        if k not in cache:
+            def train_many(state, x, y):
+                def body(s, _):
+                    s, loss = self._train_step_body(s, x, y)
+                    return s, loss
 
-        if self.mesh is not None:
-            dsh = NamedSharding(self.mesh, P("data"))
-            rep = NamedSharding(self.mesh, P())
-            return jax.jit(
-                train_step,
-                in_shardings=(rep, dsh, dsh),
-                out_shardings=(rep, rep),
-            )
-        return jax.jit(train_step)
+                return jax.lax.scan(body, state, None, length=k)
+
+            if self.mesh is not None:
+                dsh = NamedSharding(self.mesh, P("data"))
+                rep = NamedSharding(self.mesh, P())
+                cache[k] = jax.jit(
+                    train_many,
+                    in_shardings=(rep, dsh, dsh),
+                    out_shardings=(rep, rep),
+                )
+            else:
+                cache[k] = jax.jit(train_many)
+        return cache[k]
 
     def make_eval_step(self):
-        def eval_step(state: TrainState, x, y):
-            out, _ = self._apply(state.params, state.batch_stats, x, False)
-            return self.loss_fn(out, y)
+        if getattr(self, "_jit_eval_step", None) is None:
+            def eval_step(state: TrainState, x, y):
+                out, _ = self._apply(
+                    state.params, state.batch_stats, x, False
+                )
+                return self.loss_fn(out, y)
 
-        return jax.jit(eval_step)
+            self._jit_eval_step = jax.jit(eval_step)
+        return self._jit_eval_step
 
     # -- loops ---------------------------------------------------------------
 
@@ -196,18 +230,31 @@ class Trainer:
         train_data: tuple[np.ndarray, np.ndarray],
         val_data: Optional[tuple[np.ndarray, np.ndarray]] = None,
         num_epochs: Optional[int] = None,
+        state: Optional[TrainState] = None,
+        epochs_per_step: int = 1,
     ) -> TrainState:
         """Full-batch (batch_size None, like train.py:41) or mini-batch fit
-        with early stopping on val loss (train loss if no val set)."""
+        with early stopping on val loss (train loss if no val set).
+
+        ``state`` continues training from a prior fit's returned state
+        (fresh init otherwise).  ``epochs_per_step`` > 1 scans that many
+        full-batch epochs per device dispatch — early stopping and the
+        monitor are then evaluated at that granularity.
+        """
         x, y = (jnp.asarray(train_data[0]), jnp.asarray(train_data[1]))
         num_epochs = num_epochs or self.cfg.num_epochs
-        state = self.init_state(x)
-        train_step = self.make_train_step()
+        if state is None:
+            state = self.init_state(x)
         eval_step = self.make_eval_step()
+        bsz = self.cfg.batch_size
+        if bsz is None and epochs_per_step > 1:
+            return self._fit_scanned(
+                state, x, y, val_data, num_epochs, epochs_per_step, eval_step
+            )
+        train_step = self.make_train_step()
         best_state = state
         best_loss = math.inf
         patience = 0
-        bsz = self.cfg.batch_size
         perm_rng = np.random.default_rng(self.cfg.seed)
         for epoch in range(num_epochs):
             if bsz is None:
@@ -239,6 +286,37 @@ class Trainer:
                 patience = 0
             elif epoch >= self.cfg.min_epochs:
                 patience += 1
+                if patience > self.cfg.patience:
+                    break
+        self.best_loss = best_loss
+        return best_state
+
+    def _fit_scanned(
+        self, state, x, y, val_data, num_epochs, k, eval_step
+    ) -> TrainState:
+        train_many = self.make_train_many(k)
+        if val_data is not None:
+            vx = jnp.asarray(val_data[0])
+            vy = jnp.asarray(val_data[1])
+        best_state = state
+        best_loss = math.inf
+        patience = 0
+        for _ in range(-(-num_epochs // k)):
+            state, losses = train_many(state, x, y)
+            losses = np.asarray(losses, dtype=np.float64)
+            self.history["train_loss"].extend(float(v) for v in losses)
+            if val_data is not None:
+                monitor = float(eval_step(state, vx, vy))
+                self.history["val_loss"].append(monitor)
+            else:
+                monitor = float(losses[-1])
+            epoch = len(self.history["train_loss"])
+            if monitor < best_loss - self.cfg.eps:
+                best_loss = monitor
+                best_state = state
+                patience = 0
+            elif epoch >= self.cfg.min_epochs:
+                patience += k
                 if patience > self.cfg.patience:
                     break
         self.best_loss = best_loss

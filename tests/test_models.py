@@ -110,6 +110,43 @@ class TestTrainer:
         # zero lr → no improvement → stops after ~patience epochs
         assert len(trainer.history["train_loss"]) < 50
 
+    def test_scanned_epochs_match_loop(self):
+        """epochs_per_step=K (one lax.scan dispatch per K epochs) must
+        produce the same training trajectory as the per-epoch loop."""
+        x, y = _data(32, 3, 32)
+        model = CNN(output_size=2, layer_sizes=[4], kernel_size=3,
+                    dropout_rate=0.0)
+        cfg = TrainConfig(lr=3e-3, num_epochs=20, patience=100, loss="l1")
+        t1 = Trainer(model, cfg)
+        t1.fit((x, y))
+        t2 = Trainer(model, cfg)
+        t2.fit((x, y), epochs_per_step=5)
+        a = np.asarray(t1.history["train_loss"])
+        b = np.asarray(t2.history["train_loss"])
+        assert len(a) == len(b) == 20
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def test_state_continuation(self):
+        """fit(state=...) resumes training rather than re-initializing."""
+        x, y = _data(32, 3, 32)
+        model = CNN(output_size=2, layer_sizes=[4], kernel_size=3,
+                    dropout_rate=0.0)
+        cfg = TrainConfig(lr=3e-3, num_epochs=30, patience=100, loss="l1")
+        t1 = Trainer(model, cfg)
+        t1.fit((x, y))
+        t2 = Trainer(model, cfg)
+        st = None
+        for _ in range(3):
+            st = t2.fit((x, y), num_epochs=10, state=st)
+        a = np.asarray(t1.history["train_loss"])
+        b = np.asarray(t2.history["train_loss"])
+        assert len(a) == len(b) == 30
+        # same start; chunked resume continues from the best state, so the
+        # tail must keep descending rather than resetting to epoch-0 loss
+        np.testing.assert_allclose(a[:10], b[:10], rtol=1e-4, atol=1e-6)
+        assert b[-1] < b[0] * 0.8
+        assert b[20] < b[0] * 0.95  # chunk 3 did not restart from scratch
+
     def test_sgd_momentum_optimizer(self):
         tx = make_optimizer("sgd", 1e-2, weight_decay=1e-3, grad_clip=1.0)
         params = {"w": jnp.ones(3)}
