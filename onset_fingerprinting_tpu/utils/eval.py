@@ -41,6 +41,29 @@ def knn_metrics(X_test, y_train, y_test, knn):
     return res
 
 
+def plot_res(x, knn, labels, c):
+    """Neighbor-distance vs cumulative-accuracy diagnostic for one example
+    (utils.py:54-73): plots the distance of the n-th neighbor of ``x`` and
+    the running fraction of neighbors whose training label equals ``c``."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dist, neigh = knn.kneighbors(x, knn.n_samples_fit_)
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot()
+    ax.plot(dist[0], label="Distance of nth neighbor")
+    ax2 = ax.twinx()
+    ax2.plot(
+        np.cumsum(labels[neigh[0]] == c) / (np.arange(knn.n_samples_fit_) + 1),
+        color="orange",
+        label="Correct classification (cumulative)",
+    )
+    fig.legend()
+    return ax
+
+
 def butter_highpass(cutoff: float, fs: int, order: int = 5):
     """High-pass Butterworth design (utils.py:274-278)."""
     return sig.butter(order, cutoff / (0.5 * fs), btype="high", analog=False)

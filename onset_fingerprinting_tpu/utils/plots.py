@@ -46,8 +46,61 @@ def plot_group(
     return ax
 
 
-def plot_cc(a: np.ndarray, b: np.ndarray, top_n: int = 3, ax=None):
-    """Full cross-correlation with its top-n peaks marked (plots.py:73-97)."""
+def get_color_from_cmap(
+    cmap_name: str, min_val: float, max_val: float, value: float
+) -> tuple:
+    """RGBA color for ``value`` normalized into [min_val, max_val] on the
+    named colormap (reference plots.py:11-33)."""
+    cmap = plt.get_cmap(cmap_name)
+    return cmap((value - min_val) / (max_val - min_val))
+
+
+def plot_cc(
+    cc: np.ndarray,
+    n: int,
+    lag_center: int,
+    onset_tolerance: int,
+    n_peaks: int = 0,
+    ax=None,
+):
+    """Plot an already-computed windowed cross-correlation on its true lag
+    axis, as produced by the locator's CC refinement (reference
+    plots.py:73-97): ``cc`` is the slice of the full ``2n``-lag CC covering
+    ``lag_center ± onset_tolerance``.  Optionally marks the top ``n_peaks``
+    peaks colored by height."""
+    from scipy.signal import find_peaks
+
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        fig.suptitle(
+            "Cross-correlation"
+            + (f" with top {n_peaks} peaks" if n_peaks > 0 else "")
+        )
+    cc = np.asarray(cc)
+    lags = np.arange(-n, n)
+    lags = lags[lag_center - onset_tolerance : lag_center + onset_tolerance]
+    lags = lags[: len(cc)]
+    ax.plot(lags, cc[: len(lags)])
+    ax.set_xlabel("Lag")
+    ax.set_ylabel("Correlation")
+    if n_peaks > 0:
+        peaks, _ = find_peaks(cc)
+        if len(peaks):
+            peak_values = cc[peaks]
+            pmin, pmax = peak_values.min(), peak_values.max()
+            picks = peak_values.argsort()[-n_peaks:]
+            peaks, peak_values = peaks[picks], peak_values[picks]
+            colors = [
+                get_color_from_cmap("Reds", pmin, max(pmax, pmin + 1e-12), p)
+                for p in peak_values
+            ]
+            ax.vlines(lags[peaks], cc.min(), cc.max(), colors=colors)
+    return ax
+
+
+def plot_cc_signals(a: np.ndarray, b: np.ndarray, top_n: int = 3, ax=None):
+    """Convenience: compute the full CC of two raw signals and plot it with
+    its top-n peaks marked."""
     from scipy.signal import find_peaks
 
     if ax is None:

@@ -112,12 +112,34 @@ class TestEvalUtils:
         dist, correct = res[0]
         assert correct[:, 0].mean() > 0.9
 
+    def test_plot_res(self, rng):
+        from sklearn.neighbors import KNeighborsClassifier
+
+        from onset_fingerprinting_tpu.utils.eval import plot_res
+
+        x = np.concatenate([rng.normal(0, 1, (20, 4)),
+                            rng.normal(5, 1, (20, 4))])
+        y = np.array([0] * 20 + [1] * 20)
+        knn = KNeighborsClassifier(3).fit(x, y)
+        ax = plot_res(x[:1], knn, y, 0)
+        assert len(ax.lines) == 1
+        plt.close("all")
+
 
 class TestPlots:
     def test_plot_smoke(self, rng):
         audio = rng.normal(size=(2000, 3)).astype(np.float32)
         plots.plot_group(audio, np.array([500, 520, -1]))
-        plots.plot_cc(audio[:256, 0], audio[:256, 1])
+        # reference plot_cc signature: an already-computed windowed CC slice
+        # of the full 2n-lag CC covering lag_center ± tolerance
+        n, lag_center, tol = 256, 256, 60
+        cc_full = np.correlate(audio[:n, 0], audio[:n, 1], "full")
+        cc_win = cc_full[lag_center - tol : lag_center + tol]
+        ax = plots.plot_cc(cc_win, n, lag_center, tol, n_peaks=3)
+        line_x = ax.lines[0].get_xdata()
+        assert line_x[0] == -n + lag_center - tol  # true lag axis
+        plots.plot_cc_signals(audio[:256, 0], audio[:256, 1])
+        assert len(plots.get_color_from_cmap("Reds", 0.0, 1.0, 0.5)) == 4
         plots.plot_onsets(audio, [100, 900], [0, 2])
         plots.plot_around(audio[:, 0], 1000)
         plots.cartesian_circle(rng.normal(size=(20, 2)), radius=2.0)
