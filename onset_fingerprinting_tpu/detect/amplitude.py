@@ -21,6 +21,7 @@ Float32 everywhere for exact parity with the reference numerics.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional
@@ -28,6 +29,13 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# dB conversions via the VPU-native exp2/log2 transcendentals, with the SAME
+# constants as ops.pallas_detector so the scan and Pallas paths are
+# bit-identical when compiled on the same backend (required for exact
+# backtracking parity: the walk compares floats near equality).
+_LOG2_10_OVER_20 = math.log2(10.0) / 20.0
+_20_OVER_LOG2_10 = 20.0 / math.log2(10.0)
 
 from onset_fingerprinting_tpu.core.config import DetectorConfig
 from onset_fingerprinting_tpu.ops.filters import butterworth
@@ -184,13 +192,13 @@ def _fused_sample_scan(
             zi = jnp.stack(znew)
         else:
             y = xt
-        xdb = 20.0 * jnp.log10(jnp.abs(y + eps))
+        xdb = jnp.float32(_20_OVER_LOG2_10) * jnp.log2(jnp.abs(y + eps))
         xdb = jnp.maximum(xdb, floor)
         df = xdb - yf + eps
         yf = yf + jnp.where(df > 0, fa, fr) * df
         ds = xdb - ys + eps
         ys = ys + jnp.where(ds > 0, sa, sr_) * ds
-        rel = jnp.power(jnp.float32(10.0), (yf - ys) / 20.0) - eps
+        rel = jnp.exp2((yf - ys) * jnp.float32(_LOG2_10_OVER_20)) - eps
         rel = jnp.clip(rel, 0.0, -floor)
         if not static.manual:
             mn = jnp.where(
@@ -473,8 +481,8 @@ def detect_onsets_amplitude(
     min/max tracker on the first 0.5 s, then processes every full block;
     returns (channels, onsets, rel) with onsets as absolute sample indices.
     ``backend``: 'scan' (portable lax.scan program) or 'pallas' (fused TPU
-    kernel, ops.pallas_detector — fastest for wide channel counts; no
-    backtracking support).
+    kernel, ops.pallas_detector — fastest for wide channel counts; supports
+    the full detector contract including backtracking).
     """
     cfg = DetectorConfig(
         n_channels=x.shape[1],
@@ -516,7 +524,6 @@ def detect_onsets_amplitude(
             pallas_static,
         )
 
-        assert not backtrack, "pallas backend does not support backtracking"
         _, (on, deltas, rel) = pallas_detect_offline(
             pallas_static(static, params), params, state, jnp.asarray(x[:t])
         )

@@ -67,6 +67,10 @@ class PallasDetectorStatic(NamedTuple):
     iir_b: tuple  # 5 floats; identity filter when hipass is off
     iir_a: tuple
     coupled_off: bool = True
+    backtrack: bool = False
+    bt_size: int = 0
+    bt_alpha: float = 0.0
+    bt_tol: float = 0.0
 
 
 def _round_up(n: int, m: int) -> int:
@@ -77,12 +81,15 @@ def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
     """Kernel body.  ``refs`` layout:
 
     inputs:  x [B,S,128] (grid-sliced), on_th, off_th [S,128],
-             zi0 [ORDER,S,128], yf0, ys0, mn0, mx0, gate0, prev0, deb0
+             zi0 [ORDER,S,128], yf0, ys0, mn0, mx0, gate0, prev0, deb0,
+             (bt0 [Nbt,S,128] chronological rel history — only if backtrack)
     outputs: on, delta [1,S,128] i32 (grid-sliced),
              (rel_out [B,S,128] f32 — only when emit_rel),
-             zi/yf/ys/mn/mx/gate/prev/deb finals
+             zi/yf/ys/mn/mx/gate/prev/deb finals,
+             (bt final [Nbt,S,128] — only if backtrack)
     scratch: rel_buf [B,S,128] (block-local), zi_s [ORDER,S,128],
-             yf/ys/mn/mx/gate/prev/deb_s [S,128] (persist across grid steps)
+             yf/ys/mn/mx/gate/prev/deb_s [S,128] (persist across grid steps),
+             (bt_s [Nbt,S,128] + btd_s [S,128] i32 — only if backtrack)
 
     ``emit_rel=False`` keeps the relative envelope in scratch only — the
     full-T rel output block otherwise double-buffers in VMEM and caps the
@@ -92,18 +99,22 @@ def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
         x_ref, on_th_ref, off_th_ref, zi0_ref,
         yf0_ref, ys0_ref, mn0_ref, mx0_ref, gate0_ref, prev0_ref, deb0_ref,
     ) = refs[:11]
-    n_out = 11 if emit_rel else 10
-    outs = refs[11 : 11 + n_out]
-    if emit_rel:
-        (on_ref, delta_ref, rel_out, zi_out, yf_out, ys_out, mn_out,
-         mx_out, gate_out, prev_out, deb_out) = outs
-    else:
-        (on_ref, delta_ref, zi_out, yf_out, ys_out, mn_out, mx_out,
-         gate_out, prev_out, deb_out) = outs
-        rel_out = None
-    (rel_ref, zi_s, yf_s, ys_s, mn_s, mx_s, gate_s, prev_s, deb_s) = refs[
-        11 + n_out :
+    n_in = 12 if static.backtrack else 11
+    bt0_ref = refs[11] if static.backtrack else None
+    n_out = 10 + int(emit_rel) + int(static.backtrack)
+    outs = list(refs[n_in : n_in + n_out])
+    on_ref, delta_ref = outs[0], outs[1]
+    k = 2
+    rel_out = outs[k] if emit_rel else None
+    k += int(emit_rel)
+    (zi_out, yf_out, ys_out, mn_out, mx_out, gate_out, prev_out,
+     deb_out) = outs[k : k + 8]
+    bt_out = outs[k + 8] if static.backtrack else None
+    scratch = refs[n_in + n_out :]
+    (rel_ref, zi_s, yf_s, ys_s, mn_s, mx_s, gate_s, prev_s, deb_s) = scratch[
+        :9
     ]
+    bt_s, btd_s = (scratch[9], scratch[10]) if static.backtrack else (None, None)
     i = pl.program_id(0)
     bsz = static.block_size
     eps = jnp.float32(1e-10)
@@ -128,6 +139,9 @@ def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
         gate_s[:] = gate0_ref[:]
         prev_s[:] = prev0_ref[:]
         deb_s[:] = deb0_ref[:]
+        if static.backtrack:
+            bt_s[:] = bt0_ref[:]
+            btd_s[:] = jnp.zeros(btd_s.shape, jnp.int32)
 
     # ---- pass 1: per-sample recurrences --------------------------------
     # Envelope/minmax state rides in the loop carry; the IIR delay line
@@ -168,6 +182,21 @@ def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
     ys_s[:] = ys
     mn_s[:] = mn
     mx_s[:] = mx
+
+    # Backtrack history: keep the last Nbt rel samples in chronological
+    # order (oldest first).  A shift+append (one block copy) replaces the
+    # scan path's ring+linearize (detect_block) — same values, and the
+    # walk below then reads plain ascending rows at scalar indices.
+    if static.backtrack:
+        nbt = static.bt_size
+        if nbt > bsz:
+            kept = bt_s[pl.ds(bsz, nbt - bsz)]
+            bt_s[pl.ds(0, nbt - bsz)] = kept
+            bt_s[pl.ds(nbt - bsz, bsz)] = rel_ref[:]
+        elif nbt == bsz:
+            bt_s[:] = rel_ref[:]
+        else:
+            bt_s[:] = rel_ref[pl.ds(bsz - nbt, nbt)]
 
     # ---- pass 2: block-level hysteresis ---------------------------------
     # Boolean logic is expressed with f32 0/1 masks: this Mosaic target
@@ -247,7 +276,58 @@ def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
     prev_s[:] = rel_ref[bsz - 1]
 
     on_ref[0] = on_f.astype(jnp.int32)
-    delta_ref[0] = on_idx
+
+    if static.backtrack:
+        # Bounded reverse walk per fired channel (envelope_follower.c:59-85 /
+        # detection.py:800-825), as a descending row sweep over the
+        # chronological history so every VMEM read is a full-lane row at a
+        # scalar index.  Channel c starts its walk when the sweep reaches its
+        # onset row r0 = Nbt-1-(bsz-delta); each sweep row it is active, it
+        # takes one walk step (cur→EMA-smoothed, delta -= 1) while the
+        # envelope keeps decreasing beyond tolerance.  Once the go-condition
+        # fails the carried state stops changing, so go stays false — no
+        # separate "active" flag needed, keeping the loop carry at 4 arrays
+        # (a Mosaic compile-time cliff starts above that).  Unstarted
+        # channels carry cur=-1 < prevs=0, so they never step.
+        nbt = static.bt_size
+        alpha = jnp.float32(static.bt_alpha)
+        omba = 1 - alpha
+        tol = jnp.float32(static.bt_tol)
+        r0 = on_idx + jnp.int32(nbt - 1 - bsz)
+
+        @pl.when(jnp.max(on_f) > 0)
+        def _walk():
+            def walk_step(j, carry):
+                cur, prev, prevs, d = carry
+                r = nbt - 2 - j
+                rowp = bt_s[r]
+                go = mask(cur > prevs) * mask(jnp.abs(prevs - prev) > tol)
+                d = d - go.astype(jnp.int32)
+                cur = jnp.where(go > 0, prevs, cur)
+                prev = jnp.where(go > 0, rowp, prev)
+                prevs = jnp.where(go > 0, alpha * rowp + omba * cur, prevs)
+                start = mask(r0 == r)
+                rowc = bt_s[r + 1]
+                cur = jnp.where(start > 0, rowc, cur)
+                prev = jnp.where(start > 0, rowp, prev)
+                prevs = jnp.where(
+                    start > 0, alpha * rowp + omba * rowc, prevs
+                )
+                return cur, prev, prevs, d
+
+            shape = on_idx.shape
+            carry0 = (
+                jnp.full(shape, -1.0, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                on_idx,
+            )
+            _, _, _, d = jax.lax.fori_loop(0, nbt - 2, walk_step, carry0)
+            btd_s[:] = d
+
+        delta_ref[0] = jnp.where(on_f > 0, btd_s[:], on_idx)
+    else:
+        delta_ref[0] = on_idx
     if emit_rel:
         rel_out[:] = rel_ref[:]
 
@@ -260,6 +340,8 @@ def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
     gate_out[:] = gate_s[:]
     prev_out[:] = prev_s[:]
     deb_out[:] = deb_s[:]
+    if static.backtrack:
+        bt_out[:] = bt_s[:]
 
 
 def pallas_static(static, params: DetectorParams) -> PallasDetectorStatic:
@@ -285,6 +367,10 @@ def pallas_static(static, params: DetectorParams) -> PallasDetectorStatic:
         iir_b=iir_b,
         iir_a=iir_a,
         coupled_off=static.coupled_off,
+        backtrack=static.backtrack,
+        bt_size=static.bt_size,
+        bt_alpha=static.bt_alpha,
+        bt_tol=static.bt_tol,
     )
 
 
@@ -356,16 +442,36 @@ def pallas_detect_offline(
     rel_out_shapes = (
         [jax.ShapeDtypeStruct((t, *sl), jnp.float32)] if emit_rel else []
     )
+    if pstatic.backtrack:
+        nbt = pstatic.bt_size
+        lin_idx = jnp.mod(state.bt_pos + jnp.arange(nbt), nbt)
+        bt0 = _tile(state.bt_buffer[lin_idx].astype(jnp.float32), c_pad)
+        const_bt = pl.BlockSpec(
+            (nbt, *sl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        bt_in, bt_in_specs = [bt0], [const_bt]
+        bt_out_specs = [const_bt]
+        bt_out_shapes = [jax.ShapeDtypeStruct((nbt, *sl), jnp.float32)]
+        bt_scratch = [
+            pltpu.VMEM((nbt, *sl), jnp.float32),
+            pltpu.VMEM(sl, jnp.int32),
+        ]
+    else:
+        bt_in, bt_in_specs = [], []
+        bt_out_specs, bt_out_shapes, bt_scratch = [], [], []
     outs = pl.pallas_call(
         partial(_detector_kernel, pstatic, emit_rel),
         grid=(nb,),
-        in_specs=[per_block_b, const2, const2, const3] + [const2] * 7,
+        in_specs=[per_block_b, const2, const2, const3]
+        + [const2] * 7
+        + bt_in_specs,
         out_specs=(
             per_block_1,            # on
             per_block_1,            # deltas
             *rel_out_specs,         # rel (optional)
             const3,                 # zi final
             *([const2] * 7),        # state finals
+            *bt_out_specs,          # bt history final (optional)
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
@@ -373,21 +479,29 @@ def pallas_detect_offline(
             *rel_out_shapes,
             jax.ShapeDtypeStruct((ORDER, *sl), jnp.float32),
             *[jax.ShapeDtypeStruct(sl, jnp.float32) for _ in range(7)],
+            *bt_out_shapes,
         ),
         scratch_shapes=[
             pltpu.VMEM((bsz, *sl), jnp.float32),   # block-local rel
             pltpu.VMEM((ORDER, *sl), jnp.float32),
         ]
-        + [pltpu.VMEM(sl, jnp.float32) for _ in range(7)],
+        + [pltpu.VMEM(sl, jnp.float32) for _ in range(7)]
+        + bt_scratch,
         interpret=interpret,
-    )(xt, on_th, off_th, zi0, *sv)
+    )(xt, on_th, off_th, zi0, *sv, *bt_in)
 
     if emit_rel:
         on, deltas, rel, *finals = outs
     else:
         on, deltas, *finals = outs
         rel = None
-    zi_f, yf_f, ys_f, mn_f, mx_f, gate_f, prev_f, deb_f = finals
+    zi_f, yf_f, ys_f, mn_f, mx_f, gate_f, prev_f, deb_f = finals[:8]
+    if pstatic.backtrack:
+        # history is returned chronological (oldest first) == ring @ pos 0
+        bt_buffer = _untile(finals[8], c)
+        bt_pos = jnp.zeros((), jnp.int32)
+    else:
+        bt_buffer, bt_pos = state.bt_buffer, state.bt_pos
     new_state = DetectorState(
         zi=_untile(zi_f, c)[: state.zi.shape[0]],
         fast=_untile(yf_f, c),
@@ -397,8 +511,8 @@ def pallas_detect_offline(
         gate=_untile(gate_f, c) > 0,
         prev_rel=_untile(prev_f, c),
         debounce=_untile(deb_f, c).astype(jnp.int32),
-        bt_buffer=state.bt_buffer,
-        bt_pos=state.bt_pos,
+        bt_buffer=bt_buffer,
+        bt_pos=bt_pos,
     )
     return new_state, (
         _untile(on, c) > 0,

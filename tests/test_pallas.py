@@ -101,3 +101,59 @@ def test_events_only_mode_matches():
     )
     # streaming state still returned
     assert np.isfinite(np.asarray(st2.fast)).all()
+
+
+@pytest.mark.parametrize("bt_size", [128, 256, 64])
+def test_backtracking_matches_scan(bt_size):
+    """Pallas backtracking walk == scan-path _backtrack, exactly (the scan
+    path uses the same exp2/log2 math, so rel is bit-identical and so are
+    the walk's float comparisons)."""
+    T, C = 128 * 50, 3
+    x = synth(T, C, seed=11)
+    cfg = DetectorConfig(
+        n_channels=C, block_size=128, hipass_freq=2000.0, sr=96000,
+        backtrack=True, backtrack_buffer_size=bt_size,
+        backtrack_smooth_size=5,
+    )
+    static, params, state = detector_init(cfg)
+    _, (on_ref, d_ref, _) = detect_offline(static, params, state, jnp.asarray(x))
+    _, _, pstate, run = make_pallas_detector(cfg, interpret=True)
+    _, (on, d, _) = run(pstate, jnp.asarray(x))
+    on, d = np.asarray(on), np.asarray(d)
+    on_ref, d_ref = np.asarray(on_ref), np.asarray(d_ref)
+    np.testing.assert_array_equal(on, on_ref)
+    np.testing.assert_array_equal(d[on_ref], d_ref[on_ref])
+    assert on_ref.sum() > 0
+    # backtracking must actually move some onsets earlier than the raw
+    # threshold-crossing index would be
+    cfg_nobt = DetectorConfig(
+        n_channels=C, block_size=128, hipass_freq=2000.0, sr=96000,
+        backtrack=False,
+    )
+    s2, p2, st2 = detector_init(cfg_nobt)
+    _, (on_nb, d_nb, _) = detect_offline(s2, p2, st2, jnp.asarray(x))
+    assert (d[on_ref] < np.asarray(d_nb)[on_ref]).any()
+
+
+def test_backtracking_streaming_state_carries():
+    """Backtrack history must persist across kernel calls: an onset right at
+    a call boundary backtracks into the previous call's samples."""
+    T, C = 128 * 40, 2
+    x = synth(T, C, seed=13)
+    cfg = DetectorConfig(
+        n_channels=C, block_size=128, hipass_freq=0.0, sr=96000,
+        backtrack=True, backtrack_buffer_size=256,
+    )
+    _, _, state, run = make_pallas_detector(cfg, interpret=True)
+    _, (on_full, d_full, _) = run(state, jnp.asarray(x))
+    st = state
+    ons, ds = [], []
+    half = T // 2
+    for seg in (x[:half], x[half:]):
+        st, (on, d, _) = run(st, jnp.asarray(seg))
+        ons.append(np.asarray(on))
+        ds.append(np.asarray(d))
+    on_cat, d_cat = np.concatenate(ons), np.concatenate(ds)
+    on_full, d_full = np.asarray(on_full), np.asarray(d_full)
+    np.testing.assert_array_equal(on_cat, on_full)
+    np.testing.assert_array_equal(d_cat[on_full], d_full[on_full])
