@@ -30,6 +30,36 @@ from onset_fingerprinting_tpu.core.coords import (
 )
 
 
+@dataclass(order=True)
+class Trigger:
+    """Plan-queue message (rebuild of loopmate's trigger classes the
+    reference imports, realtime/main.py:10): producers put these into
+    ``Actions.plans``; the app's plan drain consumes them
+    (reference realtime/main.py:20-41).
+
+    ``at_sample`` optionally defers handling until the engine's absolute
+    sample counter reaches it (lets tests/sequencers schedule triggers
+    deterministically); ``None`` = handle immediately.
+    """
+
+    priority: int = 5
+    at_sample: Optional[int] = field(default=None, compare=False)
+
+
+@dataclass(order=True)
+class RecordTrigger(Trigger):
+    """Toggle recording (reference main.py:28-35: starts when idle, stops
+    when active)."""
+
+
+@dataclass(order=True)
+class BackCaptureTrigger(Trigger):
+    """Capture the recent audio ring to disk (reference main.py:36-37's
+    ``pr.backcapture(n_loops)``)."""
+
+    n_loops: int = field(default=1, compare=False)
+
+
 class _Param:
     __slots__ = ("raw_value",)
 

@@ -45,7 +45,7 @@ def find_offset(
     res = sciopt.minimize(
         lambda off: closest_distance(onsets + off, grid), x0=x0, **kwargs
     )
-    return int(res.x)
+    return int(np.ravel(res.x)[0])
 
 
 def tempo_frequencies(n_bins: int, hop_length: int, sr: int) -> np.ndarray:
@@ -249,14 +249,23 @@ class OnlineAnalysis:
         )[:, None]
         self.recording_start = 0
         self.recording_end = 0
+        self.last_bpm: Optional[float] = None
+        self._hopped = audio_ring.counter  # poll() cursor
 
     # -- per-hop updates ------------------------------------------------------
 
-    def hop(self) -> None:
+    def hop(self, lag: int = 0) -> None:
         """Compute one STFT frame + onset strength + tempogram frame from the
-        most recent audio (recording.py:273-327)."""
+        most recent audio (recording.py:273-327).
+
+        ``lag`` reads the frame ending ``lag`` samples before the ring
+        cursor — lets a catching-up worker process each pending hop at its
+        true stream position instead of re-reading the latest window.
+        """
+        nf = self.cfg.n_fft
+        sl = slice(-nf - lag, -lag if lag else None)
         frame = jnp.asarray(
-            np.asarray(self.audio[-self.cfg.n_fft :]).mean(-1), jnp.float32
+            np.asarray(self.audio[sl]).mean(-1), jnp.float32
         )
         spec = np.asarray(_stft_hop(self.window, frame))
         self.stft.write(spec[None])
@@ -340,6 +349,7 @@ class OnlineAnalysis:
         end_frame = min(start_frame + n // cfg.hop_length, 0)
         onsets, _ = self.detect_onsets(start_frame)
         bpm = self.bpm(start_frame, end_frame)
+        self.last_bpm = bpm
         beat_len = int(cfg.sr / (bpm / 60))
         offset = find_offset(
             onsets * cfg.hop_length, bpm, cfg.sr, method="Powell"
@@ -349,6 +359,23 @@ class OnlineAnalysis:
         n_beats = round(n / beat_len)
         self.recording_end = self.recording_start + n_beats * beat_len
         return self.recording_end
+
+    def poll(self) -> int:
+        """Catch up on all pending hops from the audio ring.
+
+        Each pending hop is computed at its true stream position (via
+        ``hop(lag=...)``), so a caller that polls less often than once per
+        hop still produces the exact per-hop analysis sequence.  Returns the
+        number of hops processed.
+        """
+        hop = self.cfg.hop_length
+        wc = self.audio.counter
+        n = 0
+        while self._hopped + hop <= wc:
+            self._hopped += hop
+            self.hop(lag=wc - self._hopped)
+            n += 1
+        return n
 
     def save_audio(self, path) -> None:
         """Dump the current audio ring to a wav (recording.py:597-604)."""
@@ -368,3 +395,37 @@ class OnlineAnalysis:
         out = directory / f"{nxt}.wav"
         self.save_audio(out)
         return out
+
+
+class AnalysisWorker:
+    """Background thread pacing :meth:`OnlineAnalysis.poll` — the
+    single-program replacement of the reference's spin-waiting analysis
+    process (recording.py:264-270): same producer/consumer shape, but over a
+    local ring instead of shared memory, so there is nothing to race on but
+    the monotonic write counter.
+
+    For deterministic consumers (tests, the WAV serve loop) call
+    ``analysis.poll()`` directly instead of starting the thread.
+    """
+
+    def __init__(self, analysis: OnlineAnalysis, interval_s: float = 0.01):
+        import threading
+
+        self.analysis = analysis
+        self.interval_s = interval_s
+        self._quit = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._quit.is_set():
+            if self.analysis.poll() == 0:
+                self._quit.wait(self.interval_s)
+
+    def start(self) -> "AnalysisWorker":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._quit.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=2.0)

@@ -269,6 +269,73 @@ class RealtimeEngine:
         #: ('engine.step' ms) and hit counters
         self.metrics = metrics
         self._harvested = 0  # events already drained from the device queue
+        #: analysis side-channel (attach_analysis); None until attached
+        self.analysis = None
+        self.recording_active = False
+        #: completed recordings: (start, end, bpm) tuples
+        self.recordings: list[tuple[int, int, Optional[float]]] = []
+
+    def attach_analysis(self, rt_cfg=None):
+        """Create the online analysis side-channel over the host audio ring
+        (the reference's RecAnalysis/AnalysisOnDemand processes,
+        recording.py:121-604 — here a local object fed by the same blocks the
+        engine processes).  Creates ``host_ring`` if absent; per-block writes
+        into it already happen in :meth:`process`/:meth:`process_nosync`.
+
+        Pace it by calling ``engine.analysis.poll()`` (deterministic) or via
+        :class:`realtime.analysis.AnalysisWorker` (thread).
+        """
+        from onset_fingerprinting_tpu.core.config import RealtimeConfig
+        from onset_fingerprinting_tpu.realtime.analysis import OnlineAnalysis
+
+        if rt_cfg is None:
+            rt_cfg = RealtimeConfig(
+                sr=self.cfg.sr,
+                blocksize=self.cfg.block_size,
+                hop_length=self.cfg.block_size,
+            )
+        if self.host_ring is None:
+            self.host_ring = CircularArray(
+                np.zeros((rt_cfg.rec_n, self.cfg.n_channels), np.float32)
+            )
+        self.analysis = OnlineAnalysis(rt_cfg, self.host_ring)
+        return self.analysis
+
+    # -- recording commands (reference analysis_action protocol,
+    #    recording.py:379-395: 1=quantize_start, 2=quantize_end) -----------
+
+    def start_recording(self) -> int:
+        """Mark a recording start at 'now' and snap it to a nearby strong
+        onset (recording.py:495-529).  Returns the quantized start sample."""
+        if self.analysis is None:
+            raise RuntimeError("attach_analysis() first")
+        self.analysis.poll()
+        self.analysis.recording_start = self.current_index
+        self.analysis.quantize_start()
+        self.recording_active = True
+        return self.analysis.recording_start
+
+    def stop_recording(self) -> tuple[int, int, Optional[float]]:
+        """Mark the recording end at 'now', extrapolate it to a whole number
+        of beats from the BPM estimate (recording.py:531-569), and return
+        ``(start, end, bpm)``."""
+        if self.analysis is None:
+            raise RuntimeError("attach_analysis() first")
+        self.analysis.poll()
+        self.analysis.recording_end = self.current_index
+        end = self.analysis.quantize_end()
+        self.recording_active = False
+        rec = (self.analysis.recording_start, end, self.analysis.last_bpm)
+        self.recordings.append(rec)
+        return rec
+
+    def bpm(self, seconds: float = 4.0) -> float:
+        """Current BPM estimate over the last ``seconds`` of audio."""
+        if self.analysis is None:
+            raise RuntimeError("attach_analysis() first")
+        self.analysis.poll()
+        frames = int(seconds * self.cfg.sr / self.analysis.cfg.hop_length)
+        return self.analysis.bpm(-frames)
 
     def warmup(self, audio: np.ndarray) -> None:
         """Prime detector envelopes/thresholds on calibration audio."""

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import threading
 import time
 from pathlib import Path
 
@@ -25,10 +24,12 @@ from onset_fingerprinting_tpu.core.config import DetectorConfig
 from onset_fingerprinting_tpu.locate import Multilaterate3D
 from onset_fingerprinting_tpu.realtime.actions import (
     Actions,
+    BackCaptureTrigger,
     Bounds,
     FxParams,
     ParameterChange,
     ParameterMapper,
+    RecordTrigger,
 )
 from onset_fingerprinting_tpu.realtime.engine import RealtimeEngine
 from onset_fingerprinting_tpu.realtime.setup_io import load_setup
@@ -39,6 +40,7 @@ def build_engine(
     sr: int = 96000,
     blocksize: int = 128,
     fx=None,
+    rt_cfg=None,
 ) -> RealtimeEngine:
     """Wire setup → locator → engine → actions (realtime/main.py:66-98)."""
     conf, model = load_setup(Path(setup_dir))
@@ -71,10 +73,63 @@ def build_engine(
     actions.append(ParameterChange([b], fx, [pm]))
     # the saved FCNN runs *inside* the fused device step (learned
     # trilateration bypass) — no per-hit host round-trip
-    return RealtimeEngine(cfg, locator, actions=actions, fx=[fx], model=model)
+    engine = RealtimeEngine(
+        cfg, locator, actions=actions, fx=[fx], model=model
+    )
+    # analysis side-channel (quantize/BPM/record; the reference's
+    # AnalysisOnDemand process, realtime/main.py:72-76)
+    engine.attach_analysis(rt_cfg)
+    return engine
 
 
-def run_wav(engine: RealtimeEngine, wav: str | Path) -> None:
+def drain_plans(engine: RealtimeEngine, capture_dir=None) -> bool:
+    """Handle pending plan-queue triggers — the reference's plan_callback
+    thread (realtime/main.py:20-41), as a synchronous drain the serve loop
+    calls between blocks (nothing to contend with the audio thread).
+
+    RecordTrigger toggles recording (start quantizes the marker to a strong
+    onset; stop extrapolates the end to whole beats and records BPM);
+    BackCaptureTrigger dumps the audio ring to ``capture_dir``.  Triggers
+    with ``at_sample`` in the future are deferred.  Returns False once a
+    quit sentinel (``None``/bool) was seen.
+    """
+    import queue as _queue
+
+    alive = True
+    deferred = []
+    while True:
+        try:
+            trig = engine.actions.plans.get_nowait()
+        except _queue.Empty:
+            break
+        if trig is None or isinstance(trig, bool):
+            alive = False
+            continue
+        at = getattr(trig, "at_sample", None)
+        if at is not None and engine.current_index < at:
+            deferred.append(trig)
+            continue
+        if isinstance(trig, RecordTrigger):
+            if not engine.recording_active:
+                start = engine.start_recording()
+                print(f"recording started @ sample {start}")
+            else:
+                start, end, bpm = engine.stop_recording()
+                print(
+                    f"recording [{start}:{end}] "
+                    f"({(end - start) / engine.cfg.sr:.2f} s) bpm={bpm:.1f}"
+                )
+        elif isinstance(trig, BackCaptureTrigger) and capture_dir is not None:
+            out = engine.analysis.save_audio_rotating(capture_dir)
+            print(f"captured ring -> {out}")
+    for trig in deferred:
+        engine.actions.plans.put_nowait(trig)
+    return alive
+
+
+def run_wav(
+    engine: RealtimeEngine, wav: str | Path, capture_dir=None
+) -> None:
     """Stream a WAV through the native executor at audio rate.
 
     Async serve shape: the audio thread runs the fused device program with
@@ -83,6 +138,11 @@ def run_wav(engine: RealtimeEngine, wav: str | Path) -> None:
     (``harvest`` — one packed transfer), which dispatches actions.  On a
     tunneled TPU this keeps the block step ~1.2 ms vs ~30 ms for a
     sync readback per block.
+
+    The producer thread also paces the analysis side-channel
+    (``analysis.poll()`` — per-hop STFT/onset strength/tempogram) and drains
+    the plan queue (record/quantize/BPM/capture triggers,
+    reference realtime/main.py:20-41,72-104).
     """
     from onset_fingerprinting_tpu.core.audio_io import read_wav
     from onset_fingerprinting_tpu.runtime_native import (
@@ -109,6 +169,9 @@ def run_wav(engine: RealtimeEngine, wav: str | Path) -> None:
         for onset, loc in engine.harvest():
             print(f"hit @ sample {onset}: {loc}")
             engine.actions.run(out_buf, loc)
+        if engine.analysis is not None:
+            engine.analysis.poll()
+        drain_plans(engine, capture_dir)
 
     ring = NativeRing(sr * 4, c)
     ex = NativeExecutor(ring, bsz, on_block, sample_rate=float(sr))
@@ -153,7 +216,23 @@ def main():  # pragma: no cover - CLI
         sys.exit(2)
     with stream:
         print("serving — ctrl-c to stop")
-        threading.Event().wait()
+        from onset_fingerprinting_tpu.realtime.analysis import AnalysisWorker
+
+        worker = (
+            AnalysisWorker(engine.analysis).start() if engine.analysis else None
+        )
+        out_buf = np.zeros(
+            (engine.cfg.block_size, engine.monitor_channels), np.float32
+        )
+        try:
+            # plan drain loop (the reference's plan_callback thread)
+            while drain_plans(engine):
+                for onset, loc in engine.harvest():
+                    engine.actions.run(out_buf, loc)
+                time.sleep(0.05)
+        finally:
+            if worker is not None:
+                worker.stop()
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -405,3 +405,62 @@ class TestStreamingUtilityHelpers:
         p0 = ana.save_audio_rotating(tmp_path / "rec")
         p1 = ana.save_audio_rotating(tmp_path / "rec")
         assert p0.name == "0.wav" and p1.name == "1.wav"
+
+
+class TestPlanDrainRecordQuantize:
+    """The analysis side-channel wired into the serve app: run_wav paces
+    OnlineAnalysis.hop off the host ring and drains Actions.plans (the
+    reference's plan_callback thread, realtime/main.py:20-41), so a pair of
+    RecordTriggers produces a quantized recording marker and a BPM estimate
+    (recording.py:379-395,495-569)."""
+
+    def test_run_wav_record_quantize_bpm(self, tmp_path):
+        from onset_fingerprinting_tpu.core.audio_io import write_wav
+        from onset_fingerprinting_tpu.realtime.actions import RecordTrigger
+        from onset_fingerprinting_tpu.realtime.main import build_engine, run_wav
+
+        sr = 48000
+        bpm_true = 60
+        beat = sr * 60 // bpm_true
+        n = sr * 9
+        rng = np.random.default_rng(0)
+        audio = rng.normal(0, 1e-3, (n, 3)).astype(np.float32)
+        t = np.arange(256)
+        click = (np.sin(2 * np.pi * 2000 / sr * t) * np.exp(-t / 40)).astype(
+            np.float32
+        )
+        first_click = sr // 2
+        for s in range(first_click, n - 300, beat):
+            audio[s : s + 256] += click[:, None]
+
+        locs = [[0.9, 0, 0], [0.9, 120, 0], [0.9, 240, 0]]
+        save_setup(locs, "drumhead", 0.82, None, None, tmp_path)
+        rt_cfg = RealtimeConfig(
+            sr=sr, blocksize=128, hop_length=256, n_fft=1024,
+            tg_win_length=768, max_recording_seconds=12,
+        )
+        engine = build_engine(tmp_path, sr=sr, rt_cfg=rt_cfg)
+        assert engine.analysis is not None
+
+        # schedule: start recording just after the 4th click, stop ~4 beats
+        # later (both deferred via at_sample; handled by the plan drain)
+        start_at = first_click + 3 * beat + 500
+        stop_at = start_at + 4 * beat + 1000
+        engine.actions.plans.put_nowait(RecordTrigger(at_sample=start_at))
+        engine.actions.plans.put_nowait(RecordTrigger(at_sample=stop_at))
+
+        write_wav(tmp_path / "clicks.wav", audio, sr)
+        run_wav(engine, tmp_path / "clicks.wav")
+
+        assert len(engine.recordings) == 1
+        start, end, bpm = engine.recordings[0]
+        # start marker quantized onto the click grid
+        offset = (start - first_click) % beat
+        assert min(offset, beat - offset) < 1500, (start, offset)
+        # end extrapolated to a whole number of beats at the estimated BPM
+        beat_est = int(sr / (bpm / 60))
+        assert (end - start) % beat_est == 0
+        assert 1 <= (end - start) // beat_est <= 10
+        # BPM within tolerance (octave ambiguity allowed, as in the
+        # reference's librosa-lineage estimator)
+        assert 55 < bpm < 65 or 110 < bpm < 130, bpm
