@@ -397,12 +397,92 @@ class RealtimeEngine:
         self.callback_time = (time.monotonic(), self.current_index)
         if self.host_ring is not None:
             self.host_ring.write(block)
+        t0 = time.perf_counter()
         self.state, _ = self._step(
             self.state, jnp.asarray(block, jnp.float32), self.params
         )
         if self.metrics is not None:
+            self.metrics.observe_deadline(
+                "engine.step",
+                (time.perf_counter() - t0) * 1e3,
+                self.budget_ms,
+            )
             self.metrics.count("engine.blocks")
         self.current_index += len(block)
+
+    # -- pipelined dispatch: keep tunnel RTT jitter out of the audio thread
+
+    @property
+    def budget_ms(self) -> float:
+        """Hard per-block realtime budget (reference config.py:33-36)."""
+        return self.cfg.block_size / self.cfg.sr * 1e3
+
+    def start_pipeline(self, depth: int = 16) -> None:
+        """Start the dispatcher thread for :meth:`process_pipelined`.
+
+        The audio thread then only copies the block into a bounded queue
+        (microseconds, deterministic); the dispatcher thread runs the device
+        step, absorbing dispatch-latency jitter (tunnel RTT spikes) that
+        would otherwise surface as audio deadline misses.  Device work must
+        still sustain one block per budget ON AVERAGE — watch the
+        ``engine.dispatch`` latency and ``engine.pipeline.drops`` metrics.
+        """
+        import queue as _queue
+        import threading
+
+        if getattr(self, "_pipe_q", None) is not None:
+            return
+        self._pipe_q = _queue.Queue(maxsize=depth)
+        self.pipeline_drops = 0
+
+        def loop():
+            while True:
+                item = self._pipe_q.get()
+                if item is None:
+                    return
+                t0 = time.perf_counter()
+                self.process_nosync(item)
+                if self.metrics is not None:
+                    self.metrics.observe(
+                        "engine.dispatch", (time.perf_counter() - t0) * 1e3
+                    )
+
+        self._pipe_thread = threading.Thread(target=loop, daemon=True)
+        self._pipe_thread.start()
+
+    def process_pipelined(self, block: np.ndarray) -> None:
+        """Audio-thread side of the pipelined dispatch: enqueue a copy of the
+        block (the caller's buffer may be reused) and return immediately.
+        When the queue is full (device persistently slower than realtime)
+        the block is DROPPED and counted, never blocked on."""
+        import queue as _queue
+
+        t0 = time.perf_counter()
+        try:
+            self._pipe_q.put_nowait(np.array(block, np.float32, copy=True))
+        except _queue.Full:
+            self.pipeline_drops += 1
+            if self.metrics is not None:
+                self.metrics.count("engine.pipeline.drops")
+        if self.metrics is not None:
+            self.metrics.observe_deadline(
+                "engine.enqueue",
+                (time.perf_counter() - t0) * 1e3,
+                self.budget_ms,
+            )
+
+    def stop_pipeline(self, timeout: float = 30.0) -> None:
+        """Drain the queue and join the dispatcher thread."""
+        if getattr(self, "_pipe_q", None) is None:
+            return
+        self._pipe_q.put(None)
+        self._pipe_thread.join(timeout=timeout)
+        self._pipe_q = None
+
+    @property
+    def pipeline_backlog(self) -> int:
+        q = getattr(self, "_pipe_q", None)
+        return q.qsize() if q is not None else 0
 
     def harvest(self) -> list[tuple[int, Location]]:
         """Drain newly located hits from the device event queue.
@@ -412,17 +492,15 @@ class RealtimeEngine:
         buffer).  One packed device→host transfer per call — transfers are
         the expensive primitive on remote TPUs.
         """
+        st = self.state  # snapshot: the dispatcher thread may swap self.state
         packed = np.asarray(
-            _pack_events(
-                self.state.ev_count, self.state.ev_points,
-                self.state.ev_onsets,
-            )
+            _pack_events(st.ev_count, st.ev_points, st.ev_onsets)
         )
         count = int(packed[0])
         new = count - self._harvested
         if new <= 0:
             return []
-        eq = self.state.ev_points.shape[0]
+        eq = st.ev_points.shape[0]
         if new > eq:  # queue overflow: oldest events were overwritten
             self._harvested = count - eq
             new = eq

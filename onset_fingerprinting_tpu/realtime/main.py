@@ -159,9 +159,12 @@ def run_wav(
     # force compile before the stream starts
     engine.process_nosync(np.zeros((bsz, c), np.float32))
     engine.harvest()
+    # pipelined dispatch: audio thread enqueues only; the dispatcher thread
+    # runs the device step so tunnel RTT jitter can't cause deadline misses
+    engine.start_pipeline(depth=32)
 
     def on_block(block, idx):
-        engine.process_nosync(block)
+        engine.process_pipelined(block)
 
     out_buf = np.zeros((bsz, engine.monitor_channels), np.float32)
 
@@ -185,10 +188,12 @@ def run_wav(
         time.sleep(0.05)
         drain()
     ex.stop()
+    engine.stop_pipeline()
     drain()
     stats = ex.latency_stats()
     print(
         f"{ex.blocks_processed} blocks, {ex.deadline_misses} deadline misses, "
+        f"{engine.pipeline_drops} drops, "
         f"p50 {stats['p50_us']/1000:.3f} ms p99 {stats['p99_us']/1000:.3f} ms"
     )
 

@@ -79,6 +79,19 @@ class Metrics:
     def observe(self, name: str, value_ms: float) -> None:
         self.observations[name].append(value_ms)
 
+    def observe_deadline(
+        self, name: str, value_ms: float, budget_ms: float
+    ) -> None:
+        """Observe a latency and count ``<name>.miss`` when it exceeds the
+        budget (the serve loop's hard per-block deadline,
+        reference realtime/config.py:33-36)."""
+        self.observe(name, value_ms)
+        if value_ms > budget_ms:
+            self.count(name + ".miss")
+
+    def misses(self, name: str) -> int:
+        return int(self.counters.get(name + ".miss", 0))
+
     def rate(self, name: str) -> float:
         """Counter per wall-clock second since creation."""
         dt = time.perf_counter() - self._t0

@@ -464,3 +464,80 @@ class TestPlanDrainRecordQuantize:
         # BPM within tolerance (octave ambiguity allowed, as in the
         # reference's librosa-lineage estimator)
         assert 55 < bpm < 65 or 110 < bpm < 130, bpm
+
+
+class TestPipelinedDispatch:
+    """start_pipeline/process_pipelined must produce the same event stream as
+    synchronous process_nosync (single dispatcher preserves block order), and
+    never block the caller."""
+
+    def _engine(self):
+        polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+        cfg = DetectorConfig(
+            n_channels=3, block_size=128, hipass_freq=0.0, sr=SR
+        )
+        locator = Multilaterate3D(polar, drum_diameter=DIAM,
+                                  medium="drumhead", sr=SR)
+        return RealtimeEngine(cfg, locator, use_pallas=False)
+
+    def _audio(self):
+        radius = DIAM / 2
+        polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+        xyz = [spherical_to_cartesian(r * radius, phi, th)
+               for (r, phi, th) in polar]
+        c = speed_of_sound(100, medium="drumhead")
+        rng = np.random.default_rng(2)
+        n = SR // 2
+        audio = rng.normal(0, 1e-4, (n, 3)).astype(np.float32)
+        t = np.arange(600)
+        burst = (np.sin(2 * np.pi * 5000 / SR * t) * np.exp(-t / 150)
+                 * 0.6).astype(np.float32)
+        for base in (SR // 8, SR // 3):
+            for ch, (sx, sy, _) in enumerate(xyz):
+                d = np.hypot(4.0 - float(sx), -3.0 - float(sy))
+                s = base + int(round(d / c * SR))
+                audio[s : s + 600, ch] += burst
+        return audio
+
+    def test_pipeline_matches_sync(self):
+        from onset_fingerprinting_tpu.utils.metrics import Metrics
+
+        audio = self._audio()
+        eng_sync = self._engine()
+        for i in range(0, len(audio) - 128 + 1, 128):
+            eng_sync.process_nosync(audio[i : i + 128])
+        ref = eng_sync.harvest()
+
+        eng_pipe = self._engine()
+        eng_pipe.metrics = Metrics()
+        eng_pipe.start_pipeline(depth=1024)
+        for i in range(0, len(audio) - 128 + 1, 128):
+            eng_pipe.process_pipelined(audio[i : i + 128])
+        eng_pipe.stop_pipeline()
+        got = eng_pipe.harvest()
+
+        assert eng_pipe.pipeline_drops == 0
+        assert len(ref) > 0
+        assert [o for o, _ in got] == [o for o, _ in ref]
+        for (_, a), (_, b) in zip(got, ref):
+            np.testing.assert_allclose([a.x, a.y], [b.x, b.y], atol=1e-6)
+        # enqueue latency is tracked against the budget
+        s = eng_pipe.metrics.summary()["latency"]
+        assert "engine.enqueue" in s and "engine.dispatch" in s
+        assert eng_pipe.metrics.misses("engine.enqueue") <= 2
+
+    def test_full_queue_drops_not_blocks(self):
+        import time as _t
+
+        eng = self._engine()
+        # prime compile so the dispatcher isn't stuck compiling
+        eng.process_nosync(np.zeros((128, 3), np.float32))
+        eng.start_pipeline(depth=2)
+        block = np.zeros((128, 3), np.float32)
+        t0 = _t.perf_counter()
+        for _ in range(64):
+            eng.process_pipelined(block)
+        elapsed = _t.perf_counter() - t0
+        eng.stop_pipeline()
+        # 64 enqueues must never block on the device (CPU step ~ms each)
+        assert elapsed < 2.0
