@@ -244,3 +244,115 @@ def events_from_dense(
     blocks, chans = np.nonzero(on)
     onsets = blocks * block_size + deltas[blocks, chans]
     return list(chans), list(onsets)
+
+
+_BIG = jnp.int32(2**30)
+
+
+def detect_events_time_sharded(
+    static,
+    params: DetectorParams,
+    state: DetectorState,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    halo: Optional[int] = None,
+    axis: str = "data",
+    capacity: int = 64,
+    backend: str = "scan",
+    interpret: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Detect over one long recording ``[T, C]`` time-sharded across the
+    mesh, with ON-DEVICE cross-device event aggregation.
+
+    Each device runs the detector over its halo-warmed time segment, reduces
+    its dense per-block outputs to a fixed-capacity event queue
+    ``(onset_abs, channel)``, and ``all_gather``s the queues over the mesh
+    axis — the ICI-collective replacement of the reference's shared-memory
+    event visibility across processes (recording.py:133-145).  Every device
+    ends up holding the GLOBAL event set, so downstream device stages
+    (grouping, locate) need no host round-trip.
+
+    Returns host ``(channels [N], onsets [N])`` sorted by onset time.
+    ``capacity`` bounds events per device segment (overflow drops the
+    latest events of that segment).
+    """
+    from jax import shard_map
+
+    n_dev = mesh.shape[axis]
+    bsz = static.block_size
+    t, c = x.shape
+    if halo is None:
+        halo = int(3 * max(static.cooldown, 2205))
+    halo = ((halo + bsz - 1) // bsz) * bsz
+    seg = ((t // n_dev) // bsz) * bsz
+    x = x[: seg * n_dev]
+
+    segs = []
+    for d in range(n_dev):
+        start = d * seg - halo
+        if start < 0:
+            pad = jnp.zeros((-start, c), x.dtype)
+            segs.append(jnp.concatenate([pad, x[: d * seg + seg]]))
+        else:
+            segs.append(x[start : d * seg + seg])
+    xs = jax.device_put(
+        jnp.stack(segs), NamedSharding(mesh, P(axis))
+    )  # [D, halo+seg, C]
+
+    if backend == "pallas":
+        from onset_fingerprinting_tpu.ops.pallas_detector import (
+            pallas_detect_offline,
+            pallas_static,
+        )
+
+        pstatic = pallas_static(static, params)
+
+        def detect_local(xi):
+            _, (on, deltas, _) = pallas_detect_offline(
+                pstatic, params, state, xi, interpret, emit_rel=False
+            )
+            return on, deltas
+    else:
+
+        def detect_local(xi):
+            _, (on, deltas, _) = detect_offline(static, params, state, xi)
+            return on, deltas
+
+    def per_shard(xb):  # [1, halo+seg, C] local slice
+        d = jax.lax.axis_index(axis)
+        on, deltas, = detect_local(xb[0])
+        skip = halo // bsz
+        on = on[skip:]
+        deltas = deltas[skip:]
+        nb_local = on.shape[0]
+        # dense → fixed-capacity event queue, ordered by onset time
+        blk = jax.lax.broadcasted_iota(jnp.int32, on.shape, 0)
+        onset_abs = d.astype(jnp.int32) * seg + blk * bsz + deltas
+        key = jnp.where(on, onset_abs, _BIG).reshape(-1)
+        chan = jax.lax.broadcasted_iota(jnp.int32, on.shape, 1).reshape(-1)
+        order = jnp.argsort(key)[:capacity]
+        ev_onsets = key[order]           # _BIG = empty slot
+        ev_chans = chan[order]
+        # the collective: every device receives every segment's queue
+        g_onsets = jax.lax.all_gather(ev_onsets, axis)   # [D, K]
+        g_chans = jax.lax.all_gather(ev_chans, axis)
+        return g_onsets, g_chans
+
+    run = jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=P(axis),
+            # replicated outputs (all_gather makes every shard identical)
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    g_onsets, g_chans = run(xs)
+    g_onsets = np.asarray(g_onsets).reshape(-1)
+    g_chans = np.asarray(g_chans).reshape(-1)
+    valid = g_onsets < int(_BIG)
+    onsets = g_onsets[valid]
+    chans = g_chans[valid]
+    order = np.argsort(onsets, kind="stable")
+    return chans[order], onsets[order]

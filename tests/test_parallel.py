@@ -162,3 +162,67 @@ class TestShardedPallasBackend:
             np.asarray(d_p)[fired], np.asarray(d_s)[fired]
         )
         assert fired.sum() > 0
+
+
+class TestDistributedInit:
+    def test_noop_single_process(self, monkeypatch):
+        from onset_fingerprinting_tpu.parallel import (
+            init_distributed,
+            pod_env_detected,
+        )
+
+        for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                  "OFT_DISTRIBUTED"):
+            monkeypatch.delenv(k, raising=False)
+        assert not pod_env_detected()
+        # no env markers, no explicit coordinator → no-op
+        assert init_distributed() is False
+
+    def test_global_mesh(self):
+        from onset_fingerprinting_tpu.parallel import global_mesh
+
+        m = global_mesh()
+        assert m.devices.size == len(jax.devices())
+        m2 = global_mesh((4, 2), ("data", "model"))
+        assert m2.shape == {"data": 4, "model": 2}
+        with pytest.raises(ValueError):
+            global_mesh((1000,))
+
+
+class TestEventAggregation:
+    @pytest.mark.parametrize("backend", ["scan", "pallas"])
+    def test_all_gather_matches_sequential(self, mesh, backend):
+        """Time-sharded detect + on-device all_gather of event queues must
+        reproduce the sequential detector's global event set; grouping then
+        runs on the aggregated events."""
+        from onset_fingerprinting_tpu.detect.grouping import find_onset_groups
+        from onset_fingerprinting_tpu.parallel import (
+            detect_events_time_sharded,
+        )
+
+        cfg = DetectorConfig(
+            n_channels=2, block_size=128, hipass_freq=0.0, sr=96000
+        )
+        static, params, state = detector_init(cfg)
+        T = 128 * 80 * 8
+        x = synth(T, 2, seed=4)
+        chans, onsets = detect_events_time_sharded(
+            static, params, state, jnp.asarray(x), mesh, halo=128 * 60,
+            backend=backend, interpret=True,
+        )
+        _, (on_r, d_r, _) = detect_offline(static, params, state,
+                                           jnp.asarray(x))
+        from onset_fingerprinting_tpu.parallel.sharding import (
+            events_from_dense,
+        )
+
+        ch_r, ev_r = events_from_dense(
+            np.asarray(on_r), np.asarray(d_r), 128
+        )
+        assert set(zip(chans, onsets)) == set(zip(ch_r, ev_r))
+        assert len(ev_r) > 0
+        # aggregated events feed grouping directly (all channels hit at
+        # roughly the same sample in the synth fixture)
+        groups = find_onset_groups(onsets, chans, max_distance=256,
+                                   min_channels=2)
+        assert groups is not None and len(groups) > 0
