@@ -1,19 +1,29 @@
-"""Benchmark: offline multichannel onset detection throughput on TPU.
+"""Benchmark: multichannel onset detect → fingerprint throughput on TPU.
 
 Headline metric (north star, BASELINE.md): ×-realtime multichannel
-detect-and-fingerprint throughput per chip — target ≥1000× realtime.  The
+detect-AND-fingerprint throughput per chip — target ≥1000× realtime.  The
 workload batches many 4-channel 96 kHz streams as one wide-channel fused
-detector (Pallas kernel; XLA-scan fallback) and measures steady-state
-wall-clock per second of audio.
+detector (Pallas kernel; XLA-scan fallback), then fingerprints every
+detected onset: gathers the onset windows on device and runs the flagship
+CCCNN (the reference's LCCCNN architecture, train.py:79-90 /
+model.py:443-629) to map each window to hit coordinates.  Steady-state
+wall-clock per second of audio, median of N iterations with dispersion.
 
 Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Diagnostics go to stderr.
+Diagnostics (per-stage breakdown, dispersion, optional width sweep) go to
+stderr.
+
+Env knobs:
+    OFPTPU_BENCH_STREAMS  number of 4-ch streams (default 1024 → C=4096)
+    OFPTPU_BENCH_SWEEP    "1" → also sweep C=1024..8192 (stderr table)
+    OFPTPU_COMPILE_CACHE  persistent compile cache dir (default .jax_cache)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -22,12 +32,103 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
+SR = 96000
+CHANNELS_PER_STREAM = 4
+WINDOW = 256  # reference flagship window (train.py:27 w=256)
+PRE = 64  # samples before the onset in the fingerprint window
+MAX_HITS = 16  # fixed per-stream hit capacity per second of audio
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main() -> int:
+def make_audio(t: int, c: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1e-3, (t, c)).astype(np.float32)
+    # synthetic hits every 100 ms so detection + fingerprinting do real work
+    burst = (
+        np.sin(2 * np.pi * 5000 / SR * np.arange(600))
+        * np.exp(-np.arange(600) / 150)
+        * 0.5
+    ).astype(np.float32)
+    for base in range(5000, t - 700, 9600):
+        x[base : base + 600] += burst[:, None]
+    return x
+
+
+def make_fingerprinter(n_streams: int, block_size: int):
+    """Jitted detect-output → coordinates stage.
+
+    Converts the detector's dense per-block events into per-stream onset
+    sample indices (fixed MAX_HITS capacity), gathers [4, WINDOW] onset
+    windows from the raw audio, and runs the flagship CCCNN over all of
+    them in one batch (bf16 convs on the MXU, FFT self-CC, dense head) —
+    the reference's detect→fingerprint serving path (model.py:443-629).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from onset_fingerprinting_tpu.models.cccnn import CCCNN
+
+    cps = CHANNELS_PER_STREAM
+    model = CCCNN(
+        output_size=2,
+        channels=cps,
+        layer_sizes=(5,) * 7,
+        kernel_sizes=(1, 33, 64, 15, 15, 15, 1),
+        dropout_rate=0.0,
+        dtype=jnp.bfloat16,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cps, WINDOW), jnp.float32)
+    )
+
+    @jax.jit
+    def fingerprint(params, x, on, deltas):
+        t = x.shape[0]
+        nb = on.shape[0]
+        on3 = on.reshape(nb, n_streams, cps)
+        d3 = deltas.reshape(nb, n_streams, cps)
+        hit = jnp.any(on3, axis=-1)  # [nb, S]
+        first = jnp.min(jnp.where(on3, d3, jnp.int32(1 << 20)), axis=-1)
+        onset = jnp.arange(nb, dtype=jnp.int32)[:, None] * block_size + first
+        # fixed-capacity hit list per stream: top-K hit blocks (ties broken
+        # by block order)
+        score = hit.T.astype(jnp.float32)  # [S, nb]
+        vals, idx = jax.lax.top_k(score, MAX_HITS)  # [S, K]
+        valid = vals > 0
+        starts = jnp.take_along_axis(onset.T, idx, axis=1) - PRE  # [S, K]
+        starts = jnp.clip(starts, 0, t - WINDOW)
+        # Window gather in the lane-friendly [T, C] layout (transposing the
+        # full [S, cps, T] audio would materialize a pathologically tiled
+        # multi-GB intermediate): every channel column picks its own rows
+        # via take_along_axis, then one small [K*W, C] transpose.
+        starts_ch = jnp.repeat(starts, cps, axis=0)  # [C, K]
+        rows = (
+            starts_ch.T[:, None, :]
+            + jnp.arange(WINDOW, dtype=jnp.int32)[None, :, None]
+        )  # [K, W, C]
+        flat = jnp.take_along_axis(
+            x, rows.reshape(MAX_HITS * WINDOW, -1), axis=0
+        )  # [K*W, C]
+        windows = (
+            flat.reshape(MAX_HITS, WINDOW, n_streams, cps)
+            .transpose(2, 0, 3, 1)  # [S, K, cps, W]
+        )
+        preds = model.apply(
+            params, windows.reshape(n_streams * MAX_HITS, cps, WINDOW)
+        )
+        preds = preds.reshape(n_streams, MAX_HITS, -1)
+        preds = jnp.where(valid[..., None], preds, 0.0)
+        return preds, jnp.sum(valid)
+
+    return params, fingerprint
+
+
+def bench_width(n_streams: int, n_iter: int = 10):
+    """Measure detect→fingerprint at one channel width.  Returns a dict of
+    timings (seconds per 1 s of audio per stage, median over n_iter)."""
     import jax
     import jax.numpy as jnp
 
@@ -36,96 +137,119 @@ def main() -> int:
         make_pallas_detector,
     )
 
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-
-    sr = 96000
-    seconds = 1
-    channels_per_stream = 4
-    # 1024 4-ch streams = 4096 detector channels (32 lane-tiles) is the
-    # throughput sweet spot: ~164 ms/s-audio (~6300x realtime), flat from
-    # C=512 up (latency-bound chain, width rides free).  C=8192 falls off a
-    # VMEM cliff (2.17 s/s-audio, ~940x — spills); C=16384 VMEM-OOMs.
-    # Override via OFPTPU_BENCH_STREAMS.
-    import os
-
-    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "1024"))
-    c = n_streams * channels_per_stream
-    t = sr * seconds
-
-    rng = np.random.default_rng(0)
-    x = rng.normal(0, 1e-3, (t, c)).astype(np.float32)
-    # sprinkle synthetic hits so the detector does real work
-    burst = (
-        np.sin(2 * np.pi * 5000 / sr * np.arange(600))
-        * np.exp(-np.arange(600) / 150)
-        * 0.5
-    ).astype(np.float32)
-    for base in range(5000, t - 700, 9600):
-        x[base : base + 600] += burst[:, None]
-
+    c = n_streams * CHANNELS_PER_STREAM
+    t = SR
+    x = make_audio(t, c)
     cfg = DetectorConfig(
-        n_channels=c, block_size=128, hipass_freq=2000.0, sr=sr,
+        n_channels=c, block_size=128, hipass_freq=2000.0, sr=SR,
         # independent streams must not couple through the reference's
         # cross-channel off-gate quirk
         coupled_off_gate=False,
     )
 
-    def run_pallas():
-        # events-only mode: skip the full rel-envelope output (bench measures
-        # the detection workload; rel is a debug/analysis output). Compile
-        # ~30-60 s at this width; measured 6299x realtime (C=4096).
+    path = "pallas"
+    try:
         _, _, state, run = make_pallas_detector(cfg, emit_rel=False)
-        xd = jnp.asarray(x)
-        t0 = time.perf_counter()
-        _, (on, d, rel) = run(state, xd)
-        _ = float(jnp.sum(on))
-        log(f"pallas compile+first: {time.perf_counter() - t0:.1f}s")
-        n_iter = 5
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            _, (on, d, rel) = run(state, xd)
-            _ = float(jnp.sum(on)) + float(jnp.sum(d))
-        return (time.perf_counter() - t0) / n_iter
-
-    def run_scan():
+    except Exception as e:  # pragma: no cover - kernel toolchain fallback
+        log(f"pallas kernel unavailable ({type(e).__name__}: {e}); "
+            "falling back to XLA scan")
+        path = "xla_scan"
         from onset_fingerprinting_tpu.detect.amplitude import (
             detect_offline,
             detector_init,
         )
 
-        static, params, state = detector_init(cfg)
-        xd = jnp.asarray(x)
-        t0 = time.perf_counter()
-        out = detect_offline(static, params, state, xd)
-        _ = float(jnp.sum(out[1][2]))
-        log(f"scan compile+first: {time.perf_counter() - t0:.1f}s")
-        n_iter = 3
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = detect_offline(static, params, state, xd)
-            _ = float(jnp.sum(out[1][2]))
-        return (time.perf_counter() - t0) / n_iter
+        static, params_d, state = detector_init(cfg)
 
-    path = "pallas"
-    try:
-        elapsed = run_pallas()
-    except Exception as e:  # pragma: no cover - kernel toolchain fallback
-        log(f"pallas kernel failed ({type(e).__name__}: {e}); "
-            "falling back to XLA scan")
-        path = "xla_scan"
-        elapsed = run_scan()
+        def run(st, xd):
+            st, (on, d, _) = detect_offline(static, params_d, st, xd)
+            return st, (on, d, None)
 
-    audio_seconds = n_streams * seconds
-    rt_factor = audio_seconds / elapsed
+    fp_params, fingerprint = make_fingerprinter(n_streams, cfg.block_size)
+    xd = jnp.asarray(x)
+
+    t0 = time.perf_counter()
+    _, (on, d, _) = run(state, xd)
+    jax.block_until_ready((on, d))
+    t_detect_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    preds, n_hits = fingerprint(fp_params, xd, on, d)
+    jax.block_until_ready(preds)
+    t_fp_compile = time.perf_counter() - t0
     log(
-        f"{path}: {elapsed * 1e3:.2f} ms per {seconds}s × {n_streams} "
-        f"4-ch streams → {rt_factor:.0f}x realtime"
+        f"C={c}: compile+first detect {t_detect_compile:.1f}s, "
+        f"fingerprint {t_fp_compile:.1f}s; "
+        f"hits fingerprinted: {int(n_hits)}/{n_streams * 10}"
+    )
+
+    det_times, fp_times, tot_times = [], [], []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        _, (on, d, _) = run(state, xd)
+        jax.block_until_ready((on, d))
+        t1 = time.perf_counter()
+        preds, n_hits = fingerprint(fp_params, xd, on, d)
+        jax.block_until_ready(preds)
+        t2 = time.perf_counter()
+        det_times.append(t1 - t0)
+        fp_times.append(t2 - t1)
+        tot_times.append(t2 - t0)
+    return {
+        "path": path,
+        "n_streams": n_streams,
+        "c": c,
+        "detect_ms": 1e3 * float(np.median(det_times)),
+        "fingerprint_ms": 1e3 * float(np.median(fp_times)),
+        "total_ms_median": 1e3 * float(np.median(tot_times)),
+        "total_ms_min": 1e3 * float(np.min(tot_times)),
+        "total_ms_max": 1e3 * float(np.max(tot_times)),
+        "total_ms_std": 1e3 * float(np.std(tot_times)),
+        "n_hits": int(n_hits),
+    }
+
+
+def main() -> int:
+    import jax
+
+    from onset_fingerprinting_tpu.core.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    cache_dir = enable_compilation_cache()
+    dev = jax.devices()[0]
+    log(f"device: {dev}; compile cache: {cache_dir}")
+
+    # 2048 4-ch streams = 8192 detector channels: two 32-lane-tile kernel
+    # calls (the former C=8192 VMEM cliff is tile-chunked away); C=16384
+    # exceeds HBM for 1 s of f32 audio + tiling.  Width sweep (v5e, this
+    # kernel): C=2048 → 7788x, C=4096 → 15212x, C=8192 → 23547x detect-only.
+    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "2048"))
+
+    if os.environ.get("OFPTPU_BENCH_SWEEP") == "1":
+        for s in (256, 512, 1024, 2048):
+            r = bench_width(s, n_iter=5)
+            rt = s / (r["total_ms_median"] / 1e3)
+            log(
+                f"sweep C={r['c']}: detect {r['detect_ms']:.1f} ms + "
+                f"fingerprint {r['fingerprint_ms']:.1f} ms per s-audio "
+                f"→ {rt:.0f}x realtime"
+            )
+
+    r = bench_width(n_streams)
+    rt_factor = n_streams / (r["total_ms_median"] / 1e3)
+    rt_detect = n_streams / (r["detect_ms"] / 1e3)
+    log(
+        f"{r['path']} C={r['c']}: detect {r['detect_ms']:.2f} ms + "
+        f"fingerprint {r['fingerprint_ms']:.2f} ms per 1s × {n_streams} "
+        f"4-ch streams → {rt_factor:.0f}x realtime combined "
+        f"(detect-only {rt_detect:.0f}x); dispersion over 10 iters: "
+        f"median {r['total_ms_median']:.1f} / min {r['total_ms_min']:.1f} / "
+        f"max {r['total_ms_max']:.1f} / std {r['total_ms_std']:.1f} ms"
     )
     print(
         json.dumps(
             {
-                "metric": "offline_detect_realtime_factor_per_chip",
+                "metric": "detect_fingerprint_realtime_factor_per_chip",
                 "value": round(rt_factor, 1),
                 "unit": "x_realtime_4ch_96kHz",
                 "vs_baseline": round(rt_factor / 1000.0, 3),

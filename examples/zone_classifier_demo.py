@@ -1,10 +1,19 @@
-"""Zone classification end-to-end: POSD + MFCC transform + CNN classifier.
+"""Zone classification on a HARD fixture: adjacent zones on a modal drum
+model with velocity and condition variation, confusion-matrix evaluation.
 
 Exercises the reference's classification pillar (SURVEY §2.4: POSD
 data.py:330 with the MFCC transform hook data.py:338,593-680, CNN
-model.py:52): synthesize two drum zones with different spectra, build a POSD
-dataset with on-device augmentation and an onset-anchored MFCC transform,
-train a CNN zone classifier with cross-entropy, report held-out accuracy.
+model.py:52).  Unlike a separable two-tone fixture, hits here come from a
+physical circular-membrane mode model: a strike at radius fraction ``r``
+excites mode (m, n) with amplitude ``J_m(alpha_mn * r)``, so three ADJACENT
+radial zones (center / halfway / edge, uniform ``r`` within each band, no
+gap) have overlapping spectra near the boundaries; hit velocity varies 5×
+(with velocity-dependent brightness) and each hit randomly uses one of two
+strike conditions (stick = sharp attack + noise transient, mallet =
+low-passed modes + longer decay).  The classifier must find the zone signal
+under all of that.
+
+Reports per-class accuracy and the full confusion matrix.
 
 Run: python examples/zone_classifier_demo.py [--cpu]
 """
@@ -32,23 +41,68 @@ from onset_fingerprinting_tpu.models import CNN, Trainer
 from onset_fingerprinting_tpu.ops.stft import cspec_to_mfcc, onset_stft
 
 SR = 96000
+F0 = 140.0  # drumhead fundamental (Hz)
+
+# circular-membrane modes (m, n): frequency ratio to (0,1) and the n-th
+# positive zero of J_m (mode shape scale)
+_MODES = [
+    (0, 1.000, 2.405),
+    (1, 1.594, 3.832),
+    (2, 2.136, 5.136),
+    (0, 2.296, 5.520),
+    (3, 2.653, 6.380),
+    (1, 2.918, 7.016),
+    (4, 3.156, 7.588),
+]
+
+ZONES = ["center", "halfway", "edge"]
+_BANDS = {"center": (0.02, 0.35), "halfway": (0.35, 0.70),
+          "edge": (0.70, 0.98)}
 
 
-def synth_zone(rng, n_hits, f0, n=None):
-    """Audio with n_hits bursts of fundamental f0 (+noise)."""
+def strike(rng, r: float, velocity: float, condition: str) -> np.ndarray:
+    """One hit at radius fraction ``r``: membrane modes J_m(alpha*r) with
+    velocity-dependent brightness and condition-dependent attack/decay."""
+    from scipy.special import jv
+
+    n = 1400
+    t = np.arange(n) / SR
+    out = np.zeros(n, dtype=np.float64)
+    for k, (m, ratio, alpha) in enumerate(_MODES):
+        amp = jv(m, alpha * r)
+        # harder hits excite the upper modes disproportionately
+        amp *= velocity ** (1.0 + 0.25 * k)
+        decay = 0.004 * (1 + 0.5 * k)
+        if condition == "mallet":
+            amp *= np.exp(-0.7 * k)  # soft head low-passes the spectrum
+            decay *= 0.6  # and damps more slowly... (slower onset below)
+        phase = rng.uniform(0, 2 * np.pi)
+        out += amp * np.sin(2 * np.pi * F0 * ratio * t + phase) * np.exp(
+            -t / (decay * (1 + r))
+        )
+    if condition == "stick":
+        # broadband attack transient, stronger toward the edge
+        tr = rng.normal(0, 1, 120) * np.exp(-np.arange(120) / 25)
+        out[:120] += 0.35 * velocity * (0.5 + r) * tr
+        attack = 1 - np.exp(-np.arange(n) / 8)
+    else:
+        attack = 1 - np.exp(-np.arange(n) / 60)  # mallet: slow attack
+    return (0.5 * velocity * out * attack).astype(np.float32)
+
+
+def synth_zone_session(rng, zone: str, n_hits: int):
+    lo, hi = _BANDS[zone]
     spacing = 6000
-    n = n or spacing * (n_hits + 1)
-    audio = rng.normal(0, 1e-3, n).astype(np.float32)
+    audio = rng.normal(0, 2e-3, spacing * (n_hits + 1)).astype(np.float32)
     onsets = []
-    t = np.arange(700)
     for i in range(n_hits):
         base = spacing // 2 + i * spacing
-        partials = sum(
-            np.sin(2 * np.pi * f0 * k / SR * t) / k for k in (1, 2, 3)
-        )
-        burst = partials * np.exp(-t / 250) * rng.uniform(0.3, 0.6)
-        audio[base : base + 700] += burst.astype(np.float32)
-        onsets.append(base)
+        r = rng.uniform(lo, hi)
+        velocity = rng.uniform(0.2, 1.0)
+        condition = "stick" if rng.uniform() < 0.5 else "mallet"
+        s = strike(rng, r, velocity, condition)
+        audio[base : base + len(s)] += s
+        onsets.append(base + int(rng.integers(0, 12)))  # onset jitter
     return audio, onsets
 
 
@@ -64,38 +118,55 @@ def mfcc_transform(audio: np.ndarray, posd: POSD) -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--hits", type=int, default=24)
+    ap.add_argument("--hits", type=int, default=60, help="hits per zone")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    a0, o0 = synth_zone(rng, args.hits, 180.0)   # "center": low fundamental
-    a1, o1 = synth_zone(rng, args.hits, 900.0)   # "edge": high fundamental
-
+    audios, onsets = zip(
+        *(synth_zone_session(rng, z, args.hits) for z in ZONES)
+    )
     ds = POSD.from_audio_onsets(
-        [a0, a1], [o0, o1], sr=SR, frame_length=512, pre_samples=64,
-        zone_names=["center", "edge"], n_rounds_aug=2,
+        list(audios), list(onsets), sr=SR, frame_length=1024,
+        pre_samples=64, zone_names=ZONES, n_rounds_aug=2,
         transform=mfcc_transform,
     )
     x = ds.audio.astype(np.float32)  # [N, n_mfcc, frames]
-    y = (ds.labels["zone"] == "edge").to_numpy().astype(np.int64)
+    zone_idx = {z: i for i, z in enumerate(ZONES)}
+    y = ds.labels["zone"].map(zone_idx).to_numpy().astype(np.int64)
     print(f"dataset: {x.shape[0]} examples of shape {x.shape[1:]} "
-          f"(MFCC features)")
+          f"(MFCC features), zones {ZONES}")
 
     idx = rng.permutation(len(x))
     x, y = x[idx], y[idx]
     split = int(0.75 * len(x))
 
     trainer = Trainer(
-        CNN(output_size=2, layer_sizes=[16, 16], kernel_size=3,
-            dropout_rate=0.1),
-        TrainConfig(lr=2e-3, num_epochs=200, patience=200, loss="xent",
+        CNN(output_size=len(ZONES), layer_sizes=[24, 24], kernel_size=3,
+            dropout_rate=0.15),
+        TrainConfig(lr=2e-3, num_epochs=400, patience=400, loss="xent",
                     batch_size=32),
     )
     state = trainer.fit((x[:split], y[:split]))
-    acc = trainer.accuracy(state, (x[split:], y[split:]))
-    print(f"held-out accuracy: {acc:.3f} over {len(x) - split} examples")
-    print("PASS" if acc > 0.9 else "FAIL")
-    sys.exit(0 if acc > 0.9 else 1)
+    yt = y[split:]
+    logits = trainer.predict(state, x[split:])
+    yp = np.asarray(jnp.argmax(logits, axis=-1))
+    acc = float((yp == yt).mean())
+
+    # confusion matrix (rows = true zone, cols = predicted)
+    k = len(ZONES)
+    cm = np.zeros((k, k), dtype=int)
+    np.add.at(cm, (yt, yp), 1)
+    print(f"held-out accuracy: {acc:.3f} over {len(yt)} examples")
+    header = " " * 9 + "".join(f"{z:>9}" for z in ZONES)
+    print("confusion matrix (true rows / predicted cols):")
+    print(header)
+    for i, z in enumerate(ZONES):
+        row = "".join(f"{cm[i, j]:>9d}" for j in range(k))
+        pc = cm[i, i] / max(cm[i].sum(), 1)
+        print(f"{z:>9}{row}   ({pc:.2f} per-class acc)")
+    ok = acc > 0.75 and all(cm[i, i] > 0 for i in range(k))
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,11 @@ from onset_fingerprinting_tpu.detect.amplitude import (
 
 LANE = 128
 ORDER = 4
+#: max channel tiles per pallas_call: S=32 ([bsz,32,128] f32 block in/out
+#: double-buffered + scratch) comfortably fits VMEM; S=64 spills (the
+#: measured C=8192 cliff).  Wider inputs split into ≤32-tile kernel calls —
+#: legal whenever channels are independent (coupled_off=False).
+MAX_TILES_PER_CALL = 32
 _LOG2_10_OVER_20 = math.log2(10.0) / 20.0
 _20_OVER_LOG2_10 = 20.0 / math.log2(10.0)
 #: on-threshold pad value: padded channels must never fire
@@ -144,44 +149,93 @@ def _detector_kernel(static: PallasDetectorStatic, emit_rel: bool, *refs):
             btd_s[:] = jnp.zeros(btd_s.shape, jnp.int32)
 
     # ---- pass 1: per-sample recurrences --------------------------------
-    # Envelope/minmax state rides in the loop carry; the IIR delay line
-    # lives in VMEM scratch.  Tuning notes: an 8-array carry, manual in-body
-    # unrolling, and Mosaic full unroll were all tried — each multiplies
-    # Mosaic compile time to minutes for no runtime win.  The per-sample
-    # dependent chain is latency-bound (~1.2 µs/sample regardless of width),
-    # so throughput scales with channel tiles instead (see module docstring).
-    def sample_step(t, carry):
-        yf, ys, mn, mx = carry
-        xt = x_ref[t]
-        zi = zi_s[:]
-        y = b[0] * xt + zi[0]
-        zi_s[0] = b[1] * xt + zi[1] - a[1] * y
-        zi_s[1] = b[2] * xt + zi[2] - a[2] * y
-        zi_s[2] = b[3] * xt + zi[3] - a[3] * y
-        zi_s[3] = b[4] * xt - a[4] * y
+    # Three short dependent loops instead of one long chain: the IIR, the
+    # dB-domain envelopes, and the EMA min/max tracker each carry only their
+    # own recurrence, while the transcendentals (log2 of the filtered
+    # signal, exp2 back to linear amplitude) run block-vectorized in
+    # CHUNK-row slices where they pipeline across samples instead of
+    # stalling the per-sample dependency chain.  Values are bit-identical to
+    # the single-loop form (per-sample elementwise op order is unchanged).
+    # Tuning notes from the single-loop version still apply: carries >4
+    # arrays, manual in-body unrolling, and Mosaic full unroll all multiply
+    # compile time to minutes for no runtime win.
+    P1CHUNK = 8 if bsz % 8 == 0 else 1
+    identity_iir = static.iir_b == (1.0, 0.0, 0.0, 0.0, 0.0) and (
+        static.iir_a == (1.0, 0.0, 0.0, 0.0, 0.0)
+    )
+
+    if not identity_iir:
+        # loop A: 4th-order IIR (DF2T), delay line in the 4-array carry
+        def iir_step(t, zi):
+            z0, z1, z2, z3 = zi
+            xt = x_ref[t]
+            y = b[0] * xt + z0
+            rel_ref[t] = y
+            return (
+                b[1] * xt + z1 - a[1] * y,
+                b[2] * xt + z2 - a[2] * y,
+                b[3] * xt + z3 - a[3] * y,
+                b[4] * xt - a[4] * y,
+            )
+
+        z = jax.lax.fori_loop(
+            0, bsz, iir_step, (zi_s[0], zi_s[1], zi_s[2], zi_s[3])
+        )
+        zi_s[0], zi_s[1], zi_s[2], zi_s[3] = z
+
+    # block-vectorized: rectified floor-clipped dB of the filtered signal
+    xdb_src = x_ref if identity_iir else rel_ref
+
+    def db_chunk(k, _):
+        y = xdb_src[pl.ds(k * P1CHUNK, P1CHUNK)]
         xdb = jnp.float32(_20_OVER_LOG2_10) * jnp.log2(jnp.abs(y + eps))
-        xdb = jnp.maximum(xdb, floor)
+        rel_ref[pl.ds(k * P1CHUNK, P1CHUNK)] = jnp.maximum(xdb, floor)
+        return 0
+
+    jax.lax.fori_loop(0, bsz // P1CHUNK, db_chunk, 0)
+
+    # loop B: fast & slow AR envelopes in dB domain (2-array carry); the
+    # relative envelope is kept as the dB difference for now
+    def env_step(t, carry):
+        yf, ys = carry
+        xdb = rel_ref[t]
         df = xdb - yf + eps
         yf = yf + jnp.where(df > 0, fa, fr) * df
         ds = xdb - ys + eps
         ys = ys + jnp.where(ds > 0, sa, sr_) * ds
-        rel = jnp.exp2((yf - ys) * jnp.float32(_LOG2_10_OVER_20)) - eps
-        rel = jnp.clip(rel, 0.0, -floor)
-        rel_ref[t] = rel
-        if not static.manual:
+        rel_ref[t] = yf - ys
+        return yf, ys
+
+    yf, ys = jax.lax.fori_loop(0, bsz, env_step, (yf_s[:], ys_s[:]))
+    yf_s[:] = yf
+    ys_s[:] = ys
+
+    # block-vectorized: dB difference → clipped linear relative envelope
+    def rel_chunk(k, _):
+        d = rel_ref[pl.ds(k * P1CHUNK, P1CHUNK)]
+        rel = jnp.exp2(d * jnp.float32(_LOG2_10_OVER_20)) - eps
+        rel_ref[pl.ds(k * P1CHUNK, P1CHUNK)] = jnp.clip(rel, 0.0, -floor)
+        return 0
+
+    jax.lax.fori_loop(0, bsz // P1CHUNK, rel_chunk, 0)
+
+    # loop C: EMA min/max tracker (2-array carry; skipped in manual mode)
+    if static.manual:
+        mn, mx = mn_s[:], mx_s[:]
+    else:
+
+        def mm_step(t, carry):
+            mn, mx = carry
+            rel = rel_ref[t]
             mn = jnp.where(
                 rel < mm, mm, jnp.where(rel < mn, rel, mn * iam + rel * am)
             )
             mx = jnp.where(rel > mx, rel, mx * iax + rel * ax)
-        return yf, ys, mn, mx
+            return mn, mx
 
-    yf, ys, mn, mx = jax.lax.fori_loop(
-        0, bsz, sample_step, (yf_s[:], ys_s[:], mn_s[:], mx_s[:])
-    )
-    yf_s[:] = yf
-    ys_s[:] = ys
-    mn_s[:] = mn
-    mx_s[:] = mx
+        mn, mx = jax.lax.fori_loop(0, bsz, mm_step, (mn_s[:], mx_s[:]))
+        mn_s[:] = mn
+        mx_s[:] = mx
 
     # Backtrack history: keep the last Nbt rel samples in chronological
     # order (oldest first).  A shift+append (one block copy) replaces the
@@ -412,7 +466,6 @@ def pallas_detect_offline(
     nb = t // bsz
     c_pad = _round_up(max(c, LANE), LANE)
     s = c_pad // LANE
-    sl = (s, LANE)
 
     xt = _tile(x.astype(jnp.float32), c_pad)  # [T, S, 128]
     on_th = _tile(params.on_threshold, c_pad, pad_value=_PAD_THRESHOLD)
@@ -420,75 +473,102 @@ def pallas_detect_offline(
     if state.zi.shape[0] == ORDER:
         zi0 = _tile(state.zi.astype(jnp.float32), c_pad)
     else:
-        zi0 = jnp.zeros((ORDER, *sl), jnp.float32)
+        zi0 = jnp.zeros((ORDER, s, LANE), jnp.float32)
     tl = lambda v: _tile(v.astype(jnp.float32), c_pad)
     sv = [
         tl(state.fast), tl(state.slow), tl(state.min_val), tl(state.max_val),
         tl(state.gate), tl(state.prev_rel), tl(state.debounce),
     ]
-
-    const2 = pl.BlockSpec(sl, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    const3 = pl.BlockSpec(
-        (ORDER, *sl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-    )
-    per_block_1 = pl.BlockSpec(
-        (1, *sl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    per_block_b = pl.BlockSpec(
-        (bsz, *sl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    rel_out_specs = [per_block_b] if emit_rel else []
-    rel_out_shapes = (
-        [jax.ShapeDtypeStruct((t, *sl), jnp.float32)] if emit_rel else []
-    )
     if pstatic.backtrack:
         nbt = pstatic.bt_size
         lin_idx = jnp.mod(state.bt_pos + jnp.arange(nbt), nbt)
         bt0 = _tile(state.bt_buffer[lin_idx].astype(jnp.float32), c_pad)
-        const_bt = pl.BlockSpec(
-            (nbt, *sl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-        )
-        bt_in, bt_in_specs = [bt0], [const_bt]
-        bt_out_specs = [const_bt]
-        bt_out_shapes = [jax.ShapeDtypeStruct((nbt, *sl), jnp.float32)]
-        bt_scratch = [
-            pltpu.VMEM((nbt, *sl), jnp.float32),
-            pltpu.VMEM(sl, jnp.int32),
-        ]
     else:
-        bt_in, bt_in_specs = [], []
-        bt_out_specs, bt_out_shapes, bt_scratch = [], [], []
-    outs = pl.pallas_call(
-        partial(_detector_kernel, pstatic, emit_rel),
-        grid=(nb,),
-        in_specs=[per_block_b, const2, const2, const3]
-        + [const2] * 7
-        + bt_in_specs,
-        out_specs=(
-            per_block_1,            # on
-            per_block_1,            # deltas
-            *rel_out_specs,         # rel (optional)
-            const3,                 # zi final
-            *([const2] * 7),        # state finals
-            *bt_out_specs,          # bt history final (optional)
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
-            jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
-            *rel_out_shapes,
-            jax.ShapeDtypeStruct((ORDER, *sl), jnp.float32),
-            *[jax.ShapeDtypeStruct(sl, jnp.float32) for _ in range(7)],
-            *bt_out_shapes,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((bsz, *sl), jnp.float32),   # block-local rel
-            pltpu.VMEM((ORDER, *sl), jnp.float32),
-        ]
-        + [pltpu.VMEM(sl, jnp.float32) for _ in range(7)]
-        + bt_scratch,
-        interpret=interpret,
-    )(xt, on_th, off_th, zi0, *sv, *bt_in)
+        bt0 = None
+
+    def call_kernel(xt, on_th, off_th, zi0, sv, bt0):
+        """One pallas_call over a ≤MAX_TILES_PER_CALL-wide tile group."""
+        sl = xt.shape[-2:]
+        const2 = pl.BlockSpec(sl, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        const3 = pl.BlockSpec(
+            (ORDER, *sl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        per_block_1 = pl.BlockSpec(
+            (1, *sl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        per_block_b = pl.BlockSpec(
+            (bsz, *sl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        rel_out_specs = [per_block_b] if emit_rel else []
+        rel_out_shapes = (
+            [jax.ShapeDtypeStruct((t, *sl), jnp.float32)] if emit_rel else []
+        )
+        if pstatic.backtrack:
+            const_bt = pl.BlockSpec(
+                (nbt, *sl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+            bt_in, bt_in_specs = [bt0], [const_bt]
+            bt_out_specs = [const_bt]
+            bt_out_shapes = [jax.ShapeDtypeStruct((nbt, *sl), jnp.float32)]
+            bt_scratch = [
+                pltpu.VMEM((nbt, *sl), jnp.float32),
+                pltpu.VMEM(sl, jnp.int32),
+            ]
+        else:
+            bt_in, bt_in_specs = [], []
+            bt_out_specs, bt_out_shapes, bt_scratch = [], [], []
+        return pl.pallas_call(
+            partial(_detector_kernel, pstatic, emit_rel),
+            grid=(nb,),
+            in_specs=[per_block_b, const2, const2, const3]
+            + [const2] * 7
+            + bt_in_specs,
+            out_specs=(
+                per_block_1,            # on
+                per_block_1,            # deltas
+                *rel_out_specs,         # rel (optional)
+                const3,                 # zi final
+                *([const2] * 7),        # state finals
+                *bt_out_specs,          # bt history final (optional)
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
+                jax.ShapeDtypeStruct((nb, *sl), jnp.int32),
+                *rel_out_shapes,
+                jax.ShapeDtypeStruct((ORDER, *sl), jnp.float32),
+                *[jax.ShapeDtypeStruct(sl, jnp.float32) for _ in range(7)],
+                *bt_out_shapes,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bsz, *sl), jnp.float32),   # block-local rel
+                pltpu.VMEM((ORDER, *sl), jnp.float32),
+            ]
+            + [pltpu.VMEM(sl, jnp.float32) for _ in range(7)]
+            + bt_scratch,
+            interpret=interpret,
+        )(xt, on_th, off_th, zi0, *sv, *bt_in)
+
+    if s <= MAX_TILES_PER_CALL or pstatic.coupled_off:
+        # coupled_off couples every channel through the block's global
+        # first-onset index (reference quirk) — it cannot be tile-split.
+        # Reference-parity setups are ≤ a few channels, far below the cap.
+        outs = call_kernel(xt, on_th, off_th, zi0, sv, bt0)
+    else:
+        parts = []
+        for lo in range(0, s, MAX_TILES_PER_CALL):
+            hi = min(lo + MAX_TILES_PER_CALL, s)
+            cut = lambda arr: arr[..., lo:hi, :]
+            parts.append(
+                call_kernel(
+                    cut(xt), cut(on_th), cut(off_th), cut(zi0),
+                    [cut(v) for v in sv],
+                    cut(bt0) if bt0 is not None else None,
+                )
+            )
+        outs = tuple(
+            jnp.concatenate([p[j] for p in parts], axis=-2)
+            for j in range(len(parts[0]))
+        )
 
     if emit_rel:
         on, deltas, rel, *finals = outs

@@ -210,6 +210,11 @@ def main():  # pragma: no cover - CLI
 
         jax.config.update("jax_platforms", "cpu")
 
+    from onset_fingerprinting_tpu.core.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # warm serve restarts skip Mosaic compiles
     engine = build_engine(args.setup_dir, sr=args.sr)
     if args.wav:
         run_wav(engine, args.wav)

@@ -103,6 +103,34 @@ def test_events_only_mode_matches():
     assert np.isfinite(np.asarray(st2.fast)).all()
 
 
+def test_wide_channels_tile_chunking(monkeypatch):
+    """Channel widths above MAX_TILES_PER_CALL split into multiple kernel
+    calls (uncoupled off-gate); events must match the single-call result."""
+    import onset_fingerprinting_tpu.ops.pallas_detector as pd
+
+    T, C = 128 * 40, 300  # 3 lane tiles
+    x = synth(T, C, seed=17)
+    cfg = DetectorConfig(
+        n_channels=C, block_size=128, hipass_freq=2000.0, sr=96000,
+        coupled_off_gate=False,
+    )
+    _, _, state, run = make_pallas_detector(cfg, interpret=True)
+    _, (on_1call, d_1call, _) = run(state, jnp.asarray(x))
+    monkeypatch.setattr(pd, "MAX_TILES_PER_CALL", 1)
+    pd.pallas_detect_offline.clear_cache()
+    _, _, state2, run2 = make_pallas_detector(cfg, interpret=True)
+    new_state, (on, d, rel) = run2(state2, jnp.asarray(x))
+    pd.pallas_detect_offline.clear_cache()
+    on, d = np.asarray(on), np.asarray(d)
+    np.testing.assert_array_equal(on, np.asarray(on_1call))
+    np.testing.assert_array_equal(
+        d[np.asarray(on_1call)], np.asarray(d_1call)[np.asarray(on_1call)]
+    )
+    assert on.sum() > 0
+    assert np.asarray(rel).shape == (T, C)
+    assert np.isfinite(np.asarray(new_state.fast)).all()
+
+
 @pytest.mark.parametrize("bt_size", [128, 256, 64])
 def test_backtracking_matches_scan(bt_size):
     """Pallas backtracking walk == scan-path _backtrack, exactly (the scan
