@@ -15,7 +15,7 @@ Diagnostics (per-stage breakdown, dispersion, optional width sweep) go to
 stderr.
 
 Env knobs:
-    OFPTPU_BENCH_STREAMS  number of 4-ch streams (default 1024 → C=4096)
+    OFPTPU_BENCH_STREAMS  number of 4-ch streams (default 2048 → C=8192)
     OFPTPU_BENCH_SWEEP    "1" → also sweep C=1024..8192 (stderr table)
     OFPTPU_COMPILE_CACHE  persistent compile cache dir (default .jax_cache)
 """
@@ -43,18 +43,28 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def make_audio(t: int, c: int, seed: int = 0) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    x = rng.normal(0, 1e-3, (t, c)).astype(np.float32)
-    # synthetic hits every 100 ms so detection + fingerprinting do real work
+def make_audio(t: int, c: int, seed: int = 0):
+    """Synthesize the bench workload ON DEVICE (a [1 s, C=8192] f32 array
+    pushed through the axon tunnel takes minutes; jax.random on chip takes
+    milliseconds).  Hits every 100 ms so detection + fingerprinting do real
+    work."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (t, c), jnp.float32) * 1e-3
+    tt = jnp.arange(600)
     burst = (
-        np.sin(2 * np.pi * 5000 / SR * np.arange(600))
-        * np.exp(-np.arange(600) / 150)
-        * 0.5
-    ).astype(np.float32)
-    for base in range(5000, t - 700, 9600):
-        x[base : base + 600] += burst[:, None]
-    return x
+        jnp.sin(2 * jnp.pi * 5000 / SR * tt) * jnp.exp(-tt / 150) * 0.5
+    )
+    pattern = jnp.concatenate([burst, jnp.zeros(9600 - 600)])
+    idx = jnp.arange(t) - 5000
+    phase = jnp.mod(idx, 9600)
+    # bursts at 5000 + 9600k, k such that the burst fits before t-700
+    profile = jnp.where(
+        (idx >= 0) & (idx - phase < t - 5700), pattern[phase], 0.0
+    )
+    return x + profile[:, None]
 
 
 def make_fingerprinter(n_streams: int, block_size: int):
@@ -63,13 +73,17 @@ def make_fingerprinter(n_streams: int, block_size: int):
     Converts the detector's dense per-block events into per-stream onset
     sample indices (fixed MAX_HITS capacity), gathers [4, WINDOW] onset
     windows from the raw audio, and runs the flagship CCCNN over all of
-    them in one batch (bf16 convs on the MXU, FFT self-CC, dense head) —
+    them in one batch (bf16 convs on the MXU, DFT self-CC, dense head) —
     the reference's detect→fingerprint serving path (model.py:443-629).
     """
     import jax
     import jax.numpy as jnp
 
     from onset_fingerprinting_tpu.models.cccnn import CCCNN
+    from onset_fingerprinting_tpu.ops.windows import (
+        gather_block_windows,
+        top_hit_blocks,
+    )
 
     cps = CHANNELS_PER_STREAM
     model = CCCNN(
@@ -79,6 +93,10 @@ def make_fingerprinter(n_streams: int, block_size: int):
         kernel_sizes=(1, 33, 64, 15, 15, 15, 1),
         dropout_rate=0.0,
         dtype=jnp.bfloat16,
+        # DFT-as-matmul self-CC: XLA's TPU FFT costs ~150 ms at this batch
+        # (655k short signals); the MXU DFT is ~1e-4-identical and ~30x
+        # faster (ops/xcorr.py::batch_self_correlate_dft)
+        cc_impl="dft",
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, cps, WINDOW), jnp.float32)
@@ -86,36 +104,15 @@ def make_fingerprinter(n_streams: int, block_size: int):
 
     @jax.jit
     def fingerprint(params, x, on, deltas):
-        t = x.shape[0]
-        nb = on.shape[0]
-        on3 = on.reshape(nb, n_streams, cps)
-        d3 = deltas.reshape(nb, n_streams, cps)
-        hit = jnp.any(on3, axis=-1)  # [nb, S]
-        first = jnp.min(jnp.where(on3, d3, jnp.int32(1 << 20)), axis=-1)
-        onset = jnp.arange(nb, dtype=jnp.int32)[:, None] * block_size + first
-        # fixed-capacity hit list per stream: top-K hit blocks (ties broken
-        # by block order)
-        score = hit.T.astype(jnp.float32)  # [S, nb]
-        vals, idx = jax.lax.top_k(score, MAX_HITS)  # [S, K]
-        valid = vals > 0
-        starts = jnp.take_along_axis(onset.T, idx, axis=1) - PRE  # [S, K]
-        starts = jnp.clip(starts, 0, t - WINDOW)
-        # Window gather in the lane-friendly [T, C] layout (transposing the
-        # full [S, cps, T] audio would materialize a pathologically tiled
-        # multi-GB intermediate): every channel column picks its own rows
-        # via take_along_axis, then one small [K*W, C] transpose.
-        starts_ch = jnp.repeat(starts, cps, axis=0)  # [C, K]
-        rows = (
-            starts_ch.T[:, None, :]
-            + jnp.arange(WINDOW, dtype=jnp.int32)[None, :, None]
-        )  # [K, W, C]
-        flat = jnp.take_along_axis(
-            x, rows.reshape(MAX_HITS * WINDOW, -1), axis=0
-        )  # [K*W, C]
-        windows = (
-            flat.reshape(MAX_HITS, WINDOW, n_streams, cps)
-            .transpose(2, 0, 3, 1)  # [S, K, cps, W]
-        )
+        # Block-aligned window starts: the onset sits at sample PRE+delta
+        # of the window (jitter < one detector block — the within-frame
+        # shift the reference's extractors train with as augmentation,
+        # data.py:55-120).  Exact-sample starts would need a per-lane row
+        # shift — a scalar gather measured ~15x slower than the entire
+        # detection pass (891 ms/s-audio).  gather_block_windows uses the
+        # DMA-friendly slab+mask formulation (ops/windows.py).
+        starts, valid = top_hit_blocks(on, block_size, n_streams, MAX_HITS)
+        windows = gather_block_windows(x, starts, cps, WINDOW, pre=PRE)
         preds = model.apply(
             params, windows.reshape(n_streams * MAX_HITS, cps, WINDOW)
         )
@@ -139,7 +136,6 @@ def bench_width(n_streams: int, n_iter: int = 10):
 
     c = n_streams * CHANNELS_PER_STREAM
     t = SR
-    x = make_audio(t, c)
     cfg = DetectorConfig(
         n_channels=c, block_size=128, hipass_freq=2000.0, sr=SR,
         # independent streams must not couple through the reference's
@@ -166,15 +162,17 @@ def bench_width(n_streams: int, n_iter: int = 10):
             return st, (on, d, None)
 
     fp_params, fingerprint = make_fingerprinter(n_streams, cfg.block_size)
-    xd = jnp.asarray(x)
+    xd = make_audio(t, c)  # synthesized on device
 
+    # sync each stage by pulling a scalar reduction — through the axon
+    # tunnel block_until_ready alone under-reports device time
     t0 = time.perf_counter()
     _, (on, d, _) = run(state, xd)
-    jax.block_until_ready((on, d))
+    _ = int(jnp.sum(on)) + int(jnp.sum(d))
     t_detect_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     preds, n_hits = fingerprint(fp_params, xd, on, d)
-    jax.block_until_ready(preds)
+    _ = float(jnp.sum(preds))
     t_fp_compile = time.perf_counter() - t0
     log(
         f"C={c}: compile+first detect {t_detect_compile:.1f}s, "
@@ -182,18 +180,36 @@ def bench_width(n_streams: int, n_iter: int = 10):
         f"hits fingerprinted: {int(n_hits)}/{n_streams * 10}"
     )
 
-    det_times, fp_times, tot_times = [], [], []
+    # per-stage breakdown (each stage pays one tunnel-dispatch sync)
+    det_times, fp_times = [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         _, (on, d, _) = run(state, xd)
-        jax.block_until_ready((on, d))
+        _ = int(jnp.sum(on)) + int(jnp.sum(d))
         t1 = time.perf_counter()
         preds, n_hits = fingerprint(fp_params, xd, on, d)
-        jax.block_until_ready(preds)
+        _ = float(jnp.sum(preds))
         t2 = time.perf_counter()
         det_times.append(t1 - t0)
         fp_times.append(t2 - t1)
-        tot_times.append(t2 - t0)
+
+    # headline: ONE fused dispatch for the whole detect→fingerprint
+    # pipeline (the serving shape — a single device program per second of
+    # audio, one host sync)
+    @jax.jit
+    def pipeline(state, xd):
+        _, (on, d, _) = run(state, xd)
+        preds, n_hits = fingerprint(fp_params, xd, on, d)
+        return jnp.sum(preds), n_hits
+
+    tot_times = []
+    s, n_hits = pipeline(state, xd)  # compile
+    _ = float(s)
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        s, n_hits = pipeline(state, xd)
+        _ = float(s)
+        tot_times.append(time.perf_counter() - t0)
     return {
         "path": path,
         "n_streams": n_streams,

@@ -58,6 +58,54 @@ def batch_full_correlate(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([r[..., L - (n - 1):], r[..., :n]], axis=-1)
 
 
+def _dft_matrices(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Constant matrices for self-correlation as two MXU matmuls.
+
+    ``L`` need not be a power of two (unlike the FFT path) — just ≥ 2n-1
+    and a lane-friendly multiple of 16.
+    """
+    L = ((2 * n - 1 + 15) // 16) * 16
+    f = L // 2 + 1
+    ang = 2.0 * np.pi * np.outer(np.arange(L), np.arange(f)) / L
+    dft_re = np.cos(ang).astype(np.float32)        # [L, F]
+    dft_im = (-np.sin(ang)).astype(np.float32)
+    # inverse transform of a real (hermitian-symmetric) power spectrum:
+    # cc_circ[j] = 1/L * (p0 + 2·Σ_mid p_f cos(2πfj/L) [+ (-1)^j p_nyq])
+    w = np.full(f, 2.0, np.float32)
+    w[0] = 1.0
+    if L % 2 == 0:
+        w[-1] = 1.0
+    inv = (
+        np.cos(2.0 * np.pi * np.outer(np.arange(f), np.arange(L)) / L)
+        * w[:, None]
+        / L
+    ).astype(np.float32)                            # [F, L]
+    return dft_re, dft_im, inv
+
+
+def batch_self_correlate_dft(a: jnp.ndarray) -> jnp.ndarray:
+    """Self-correlation ``batch_full_correlate(a, a)`` as two plain matmuls.
+
+    XLA's TPU FFT is slow for huge batches of short signals (measured
+    ~150 ms for 655k × len-133 signals where this path takes a few ms);
+    a DFT is just a matmul, which is exactly what the MXU is for.  The
+    power spectrum of a real signal is real and even, so the inverse
+    transform is one cosine matmul.  f32-exact to ~1e-4 abs like the FFT
+    path.
+    """
+    n = a.shape[-1]
+    dft_re, dft_im, inv = _dft_matrices(n)
+    L = dft_re.shape[0]
+    pad = jnp.concatenate(
+        [a, jnp.zeros((*a.shape[:-1], L - n), a.dtype)], axis=-1
+    )
+    re = pad @ jnp.asarray(dft_re)
+    im = pad @ jnp.asarray(dft_im)
+    power = re * re + im * im
+    cc = power @ jnp.asarray(inv)  # [..., L] circular self-CC
+    return jnp.concatenate([cc[..., L - (n - 1):], cc[..., :n]], axis=-1)
+
+
 def find_lag(a, b) -> int:
     """argmax-lag between two signals (multilateration.py:878-887)."""
     cc = full_correlate(jnp.asarray(a), jnp.asarray(b))

@@ -150,6 +150,20 @@ class TestXCorr:
                 ours[i], np.correlate(a[i], b[i], "full"), atol=1e-4
             )
 
+    def test_self_correlate_dft_matches_fft(self, rng):
+        """DFT-as-matmul self-CC (the MXU serving path) == FFT path."""
+        from onset_fingerprinting_tpu.ops.xcorr import (
+            batch_self_correlate_dft,
+        )
+
+        for n in (7, 64, 133):
+            a = jnp.asarray(rng.normal(size=(3, 4, n)).astype(np.float32))
+            ref = np.asarray(batch_full_correlate(a, a))
+            got = np.asarray(batch_self_correlate_dft(a))
+            np.testing.assert_allclose(
+                got, ref, atol=1e-3 * max(np.abs(ref).max(), 1.0)
+            )
+
     def test_streaming_cc_golden(self):
         """The c/test.py harness, ported: streaming CC over sine+noise must
         match np.correlate(mode='full') per block within 1e-3."""
