@@ -87,17 +87,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=300)
+    # reference budget: min 1000 epochs, patience 500 (train.py:92-105)
+    ap.add_argument("--min-epochs", type=int, default=0)
+    ap.add_argument("--patience", type=int, default=0,
+                    help="early-stop patience; 0 = no early stop")
+    ap.add_argument("--hits", type=int, default=48)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as td:
         folder = Path(td)
-        synth_session(folder)
+        synth_session(folder, n_hits=args.hits)
         t0 = time.perf_counter()
         study = run_location_hpo(
             folder, "combined0", w=256, channels=4, pre_samples=8,
-            n_trials=args.trials, num_epochs=args.epochs, min_epochs=0,
-            patience=args.epochs, subsample=1,
+            n_trials=args.trials, num_epochs=args.epochs,
+            min_epochs=args.min_epochs,
+            patience=args.patience or args.epochs, subsample=1,
         )
         el = time.perf_counter() - t0
     print(f"{args.trials} trials x {args.epochs} epochs in {el:.1f}s")
