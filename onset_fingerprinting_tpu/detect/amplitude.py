@@ -31,9 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # dB conversions via the VPU-native exp2/log2 transcendentals, with the SAME
-# constants as ops.pallas_detector so the scan and Pallas paths are
-# bit-identical when compiled on the same backend (required for exact
-# backtracking parity: the walk compares floats near equality).
+# constants as ops.pallas_detector so the scan and Pallas paths agree to
+# float32-fusion tolerance (XLA forms FMAs differently per program, so
+# bitwise equality is NOT guaranteed; the backtracking walk compares
+# smoothed floats against a tolerance and may stop one EMA step apart on
+# knife-edge sites — see tests/test_pallas.py).
 _LOG2_10_OVER_20 = math.log2(10.0) / 20.0
 _20_OVER_LOG2_10 = 20.0 / math.log2(10.0)
 
