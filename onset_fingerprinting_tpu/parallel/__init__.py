@@ -9,6 +9,7 @@ from onset_fingerprinting_tpu.parallel.mesh import (
 )
 from onset_fingerprinting_tpu.parallel.sharding import (
     detect_events_time_sharded,
+    detect_fingerprint_sharded,
     detect_offline_sharded,
     detect_offline_time_sharded,
     shard_batch,

@@ -37,6 +37,38 @@ def shard_batch(mesh: Mesh, x: jnp.ndarray, axis: str = "data") -> jnp.ndarray:
     return jax.device_put(x, NamedSharding(mesh, P(axis)))
 
 
+def _tile_streams(static, params, state, per_dev: int, c: int):
+    """Widen a per-stream detector config to ``per_dev`` batched streams:
+    tile the caller's exact static config / params / state across the
+    stream axis (the detector is channel-independent)."""
+    import dataclasses
+
+    static_l = dataclasses.replace(
+        static, n_channels=per_dev * c, coupled_off=False
+    )
+    params_l = DetectorParams(
+        on_threshold=jnp.tile(params.on_threshold, per_dev),
+        off_threshold=jnp.tile(params.off_threshold, per_dev),
+        b=params.b,
+        a=params.a,
+    )
+    state_l = DetectorState(
+        zi=jnp.tile(state.zi, (1, per_dev)) if state.zi.size else state.zi,
+        fast=jnp.tile(state.fast, per_dev),
+        slow=jnp.tile(state.slow, per_dev),
+        min_val=jnp.tile(state.min_val, per_dev),
+        max_val=jnp.tile(state.max_val, per_dev),
+        gate=jnp.tile(state.gate, per_dev),
+        prev_rel=jnp.tile(state.prev_rel, per_dev),
+        debounce=jnp.tile(state.debounce, per_dev),
+        bt_buffer=jnp.tile(state.bt_buffer, (1, per_dev))
+        if state.bt_buffer.size
+        else state.bt_buffer,
+        bt_pos=state.bt_pos,
+    )
+    return static_l, params_l, state_l
+
+
 def detect_offline_sharded(
     static,
     params: DetectorParams,
@@ -68,32 +100,8 @@ def detect_offline_sharded(
     assert n_streams % n_dev == 0, "streams must divide the mesh axis"
     per_dev = n_streams // n_dev
 
-    # local wide-channel detector over per_dev streams: tile the caller's
-    # exact static config / params / state across the stream axis
-    import dataclasses
-
-    static_l = dataclasses.replace(
-        static, n_channels=per_dev * c, coupled_off=False
-    )
-    params_l = DetectorParams(
-        on_threshold=jnp.tile(params.on_threshold, per_dev),
-        off_threshold=jnp.tile(params.off_threshold, per_dev),
-        b=params.b,
-        a=params.a,
-    )
-    state_l = DetectorState(
-        zi=jnp.tile(state.zi, (1, per_dev)) if state.zi.size else state.zi,
-        fast=jnp.tile(state.fast, per_dev),
-        slow=jnp.tile(state.slow, per_dev),
-        min_val=jnp.tile(state.min_val, per_dev),
-        max_val=jnp.tile(state.max_val, per_dev),
-        gate=jnp.tile(state.gate, per_dev),
-        prev_rel=jnp.tile(state.prev_rel, per_dev),
-        debounce=jnp.tile(state.debounce, per_dev),
-        bt_buffer=jnp.tile(state.bt_buffer, (1, per_dev))
-        if state.bt_buffer.size
-        else state.bt_buffer,
-        bt_pos=state.bt_pos,
+    static_l, params_l, state_l = _tile_streams(
+        static, params, state, per_dev, c
     )
 
     if backend == "pallas":
@@ -356,3 +364,98 @@ def detect_events_time_sharded(
     chans = g_chans[valid]
     order = np.argsort(onsets, kind="stable")
     return chans[order], onsets[order]
+
+
+def detect_fingerprint_sharded(
+    static,
+    params: DetectorParams,
+    state: DetectorState,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    model,
+    model_params,
+    window: int = 256,
+    pre: int = 64,
+    capacity: int = 16,
+    backend: str = "scan",
+    interpret: bool = False,
+):
+    """The full serving pipeline, sharded over streams: fused detection →
+    fixed-capacity hit lists → DMA window gather → fingerprint model, all
+    inside ONE ``shard_map`` program (the multi-chip form of ``bench.py``'s
+    fused dispatch; reference serving path model.py:443-629).
+
+    :param x: ``[S, T, C]`` batch of streams, sharded over the first mesh
+        axis; model params replicated.
+    :param model: flax module mapping ``[B, C, window] → [B, out]``
+    :returns: ``(preds [S, capacity, out], starts [S, capacity] int32,
+        valid [S, capacity] bool)`` — zero-masked predictions per detected
+        hit.
+    """
+    from jax import shard_map
+
+    from onset_fingerprinting_tpu.ops.windows import (
+        gather_block_windows,
+        top_hit_blocks,
+    )
+
+    n_streams, t, c = x.shape
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    assert n_streams % n_dev == 0, "streams must divide the mesh axis"
+    per_dev = n_streams // n_dev
+    bsz = static.block_size
+
+    static_l, params_l, state_l = _tile_streams(
+        static, params, state, per_dev, c
+    )
+
+    if backend == "pallas":
+        from onset_fingerprinting_tpu.ops.pallas_detector import (
+            pallas_detect_offline,
+            pallas_static,
+        )
+
+        pstatic = pallas_static(static_l, params_l)
+
+        def detect_wide(wide):
+            _, (on, deltas, _) = pallas_detect_offline(
+                pstatic, params_l, state_l, wide, interpret, emit_rel=False
+            )
+            return on, deltas
+    else:
+
+        def detect_wide(wide):
+            _, (on, deltas, _) = detect_offline(
+                static_l, params_l, state_l, wide
+            )
+            return on, deltas
+
+    gather_backend = "xla" if interpret else "auto"
+
+    def per_shard(xb, mp):  # [S_local, T, C]
+        wide = jnp.moveaxis(xb, 0, 1).reshape(t, per_dev * c)
+        on, deltas = detect_wide(wide)
+        starts, valid = top_hit_blocks(on, bsz, per_dev, capacity)
+        windows = gather_block_windows(
+            wide, starts, c, window, pre, gather_backend
+        )
+        preds = model.apply(
+            mp, windows.reshape(per_dev * capacity, c, window)
+        )
+        preds = preds.reshape(per_dev, capacity, -1)
+        preds = jnp.where(valid[..., None], preds, 0.0)
+        return preds, starts, valid
+
+    run = jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    return run(
+        jax.device_put(x, NamedSharding(mesh, P(axis))), model_params
+    )

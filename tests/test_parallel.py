@@ -226,3 +226,58 @@ class TestEventAggregation:
         groups = find_onset_groups(onsets, chans, max_distance=256,
                                    min_channels=2)
         assert groups is not None and len(groups) > 0
+
+
+class TestDetectFingerprintSharded:
+    def test_full_pipeline_matches_unsharded(self, mesh):
+        """Sharded detect→gather→fingerprint == the same pipeline run
+        unsharded per stream."""
+        from flax import linen as nn
+
+        from onset_fingerprinting_tpu.ops.windows import (
+            gather_block_windows,
+            top_hit_blocks,
+        )
+        from onset_fingerprinting_tpu.parallel.sharding import (
+            detect_fingerprint_sharded,
+        )
+
+        T, C, S, W, K = 128 * 30, 2, 8, 128, 4
+        streams = np.stack([synth(T, C, seed=100 + i) for i in range(S)])
+        cfg = DetectorConfig(
+            n_channels=C, block_size=128, hipass_freq=0.0, sr=96000,
+            coupled_off_gate=False,
+        )
+        static, params, state = detector_init(cfg)
+
+        class Head(nn.Module):
+            @nn.compact
+            def __call__(self, x):  # [B, C, W]
+                return nn.Dense(2)(x.reshape(x.shape[0], -1))
+
+        model = Head()
+        mp = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, C, W), jnp.float32)
+        )
+        preds, starts, valid = detect_fingerprint_sharded(
+            static, params, state, jnp.asarray(streams), mesh, model, mp,
+            window=W, pre=32, capacity=K,
+        )
+        preds, starts, valid = map(np.asarray, (preds, starts, valid))
+        assert valid.any()
+        # per-stream reference: unsharded detect + same gather + same model
+        for s in range(S):
+            _, (on, d, _) = detect_offline(
+                static, params, state, jnp.asarray(streams[s])
+            )
+            st_ref, v_ref = top_hit_blocks(jnp.asarray(np.asarray(on)), 128, 1, K)
+            np.testing.assert_array_equal(valid[s], np.asarray(v_ref)[0])
+            np.testing.assert_array_equal(starts[s], np.asarray(st_ref)[0])
+            wins = gather_block_windows(
+                jnp.asarray(streams[s]), st_ref, C, W, 32
+            )
+            p_ref = model.apply(mp, np.asarray(wins)[0])
+            p_ref = np.where(
+                np.asarray(v_ref)[0][:, None], np.asarray(p_ref), 0.0
+            )
+            np.testing.assert_allclose(preds[s], p_ref, atol=1e-5)
