@@ -12,5 +12,6 @@ from onset_fingerprinting_tpu.parallel.sharding import (
     detect_fingerprint_sharded,
     detect_offline_sharded,
     detect_offline_time_sharded,
+    make_detect_fingerprint_sharded,
     shard_batch,
 )

@@ -366,31 +366,38 @@ def detect_events_time_sharded(
     return chans[order], onsets[order]
 
 
-def detect_fingerprint_sharded(
+def make_detect_fingerprint_sharded(
     static,
     params: DetectorParams,
     state: DetectorState,
-    x: jnp.ndarray,
+    shape: tuple,
     mesh: Mesh,
     model,
-    model_params,
     window: int = 256,
     pre: int = 64,
     capacity: int = 16,
     backend: str = "scan",
     interpret: bool = False,
+    layout: str = "stream",
+    channels_per_stream: int | None = None,
 ):
-    """The full serving pipeline, sharded over streams: fused detection →
+    """Build the reusable sharded serving pipeline: fused detection →
     fixed-capacity hit lists → DMA window gather → fingerprint model, all
     inside ONE ``shard_map`` program (the multi-chip form of ``bench.py``'s
     fused dispatch; reference serving path model.py:443-629).
 
-    :param x: ``[S, T, C]`` batch of streams, sharded over the first mesh
-        axis; model params replicated.
+    Returns ``run(x, model_params) -> (preds, starts, valid)`` — a jitted
+    callable to REUSE across calls (rebuilding it per call would retrace
+    the whole pipeline each time).
+
+    :param shape: the input shape ``x.shape`` the callable will serve —
+        ``layout='stream'``: ``[S, T, C]`` sharded over the first axis
+        (convenient, but the in-program transpose to wide channels
+        materializes a lane-padded intermediate — measured ~1 s for
+        64×96k×4 on v5e); ``layout='wide'``: ``[T, S*C]``
+        channel-interleaved, stream-major, sharded over columns
+        (zero-copy — the serving-speed layout).
     :param model: flax module mapping ``[B, C, window] → [B, out]``
-    :returns: ``(preds [S, capacity, out], starts [S, capacity] int32,
-        valid [S, capacity] bool)`` — zero-masked predictions per detected
-        hit.
     """
     from jax import shard_map
 
@@ -399,7 +406,12 @@ def detect_fingerprint_sharded(
         top_hit_blocks,
     )
 
-    n_streams, t, c = x.shape
+    if layout == "wide":
+        t, c_total = shape
+        c = channels_per_stream
+        n_streams = c_total // c
+    else:
+        n_streams, t, c = shape
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     assert n_streams % n_dev == 0, "streams must divide the mesh axis"
@@ -433,8 +445,7 @@ def detect_fingerprint_sharded(
 
     gather_backend = "xla" if interpret else "auto"
 
-    def per_shard(xb, mp):  # [S_local, T, C]
-        wide = jnp.moveaxis(xb, 0, 1).reshape(t, per_dev * c)
+    def body(wide, mp):  # [T, per_dev*c] local wide channels
         on, deltas = detect_wide(wide)
         starts, valid = top_hit_blocks(on, bsz, per_dev, capacity)
         windows = gather_block_windows(
@@ -447,15 +458,56 @@ def detect_fingerprint_sharded(
         preds = jnp.where(valid[..., None], preds, 0.0)
         return preds, starts, valid
 
-    run = jax.jit(
+    if layout == "wide":
+
+        def per_shard(xb, mp):  # [T, per_dev*c]
+            return body(xb, mp)
+
+        in_spec = P(None, axis)
+    else:
+
+        def per_shard(xb, mp):  # [S_local, T, C]
+            return body(jnp.moveaxis(xb, 0, 1).reshape(t, per_dev * c), mp)
+
+        in_spec = P(axis)
+
+    jitted = jax.jit(
         shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(axis), P()),
+            in_specs=(in_spec, P()),
             out_specs=P(axis),
             check_vma=False,
         )
     )
-    return run(
-        jax.device_put(x, NamedSharding(mesh, P(axis))), model_params
+
+    def run(x, model_params):
+        return jitted(
+            jax.device_put(x, NamedSharding(mesh, in_spec)), model_params
+        )
+
+    return run
+
+
+def detect_fingerprint_sharded(
+    static,
+    params: DetectorParams,
+    state: DetectorState,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    model,
+    model_params,
+    **kwargs,
+):
+    """One-shot convenience wrapper over
+    :func:`make_detect_fingerprint_sharded` (which see).  For repeated
+    serving calls, build the pipeline once and reuse it.
+
+    :returns: ``(preds [S, capacity, out], starts [S, capacity] int32,
+        valid [S, capacity] bool)`` — zero-masked predictions per detected
+        hit.
+    """
+    run = make_detect_fingerprint_sharded(
+        static, params, state, tuple(x.shape), mesh, model, **kwargs
     )
+    return run(x, model_params)

@@ -281,3 +281,14 @@ class TestDetectFingerprintSharded:
                 np.asarray(v_ref)[0][:, None], np.asarray(p_ref), 0.0
             )
             np.testing.assert_allclose(preds[s], p_ref, atol=1e-5)
+
+        # wide (zero-transpose) layout must match the stream layout
+        wide = np.moveaxis(streams, 0, 1).reshape(T, S * C)
+        preds_w, starts_w, valid_w = detect_fingerprint_sharded(
+            static, params, state, jnp.asarray(wide), mesh, model, mp,
+            window=W, pre=32, capacity=K, layout="wide",
+            channels_per_stream=C,
+        )
+        np.testing.assert_array_equal(np.asarray(valid_w), valid)
+        np.testing.assert_array_equal(np.asarray(starts_w), starts)
+        np.testing.assert_allclose(np.asarray(preds_w), preds, atol=1e-6)
