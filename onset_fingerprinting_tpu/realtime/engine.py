@@ -87,6 +87,47 @@ class BlockEvents(NamedTuple):
     emits: jnp.ndarray    # [C] bool — a hit completed at this event
 
 
+def make_classify_fn(
+    model,
+    model_params,
+    window: int = 256,
+    pre: int = 64,
+    capacity: int = 16,
+):
+    """Jitted on-device hit classifier over the engine's audio ring.
+
+    Completes the serve datapath SURVEY §7 sketches (detect→locate→
+    *classify* fused on device): for up to ``capacity`` located hits, the
+    onset windows are gathered straight from the device-resident audio
+    ring (no host round-trip of audio) and pushed through the fingerprint
+    model in one dispatch.  Runs OFF the audio thread (harvest cadence),
+    so the classify cost never touches the 1.333 ms block budget.
+
+    Returns ``classify(ring, onsets [capacity] i32 absolute, valid
+    [capacity] bool) -> preds [capacity, out]`` (zero-masked).
+    """
+
+    @jax.jit
+    def classify(ring: RingBuffer, onsets: jnp.ndarray, valid: jnp.ndarray):
+        cap = ring.capacity
+        start = onsets - pre
+        # clamp into the ring's live history (never read past the write
+        # head or before the oldest retained frame)
+        lo = jnp.maximum(ring.counter - cap, 0)
+        hi = jnp.maximum(ring.counter - window, 0)
+        start = jnp.clip(start, lo, hi)
+        idx = jnp.mod(
+            start[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :],
+            cap,
+        )  # [K, W]
+        wins = ring.data[idx]  # [K, W, C]
+        wins = jnp.swapaxes(wins, 1, 2)  # [K, C, W]
+        preds = model.apply(model_params, wins)
+        return jnp.where(valid[:, None], preds, 0.0)
+
+    return classify
+
+
 def make_engine_step(
     cfg: DetectorConfig,
     locator: Multilaterate3D,
@@ -300,6 +341,45 @@ class RealtimeEngine:
             )
         self.analysis = OnlineAnalysis(rt_cfg, self.host_ring)
         return self.analysis
+
+    def attach_classifier(
+        self, model, model_params, window: int = 256, pre: int = 64,
+        capacity: int = 16,
+    ) -> None:
+        """Attach an on-device fingerprint/zone classifier: harvested hits
+        can then be classified from the device audio ring in one batched
+        dispatch via :meth:`classify_hits` — the serve-side fingerprinting
+        stage (windows never leave the device)."""
+        self._classify = make_classify_fn(
+            model, model_params, window=window, pre=pre, capacity=capacity
+        )
+        self._classify_capacity = capacity
+
+    def classify_hits(self, events) -> np.ndarray:
+        """Classify harvested hits ``[(onset, Location), ...]`` from the
+        device ring.  Returns ``[len(events), out]`` predictions.  Call
+        soon after :meth:`harvest` (the ring holds ``ring_seconds`` of
+        audio).  Runs off the audio thread."""
+        if not hasattr(self, "_classify"):
+            raise RuntimeError("attach_classifier() first")
+        if not events:
+            return np.zeros((0, 0), np.float32)
+        cap = self._classify_capacity
+        out = []
+        for base in range(0, len(events), cap):
+            chunk = events[base : base + cap]
+            onsets = np.zeros((cap,), np.int32)
+            valid = np.zeros((cap,), bool)
+            for i, (onset, _) in enumerate(chunk):
+                onsets[i] = onset
+                valid[i] = True
+            preds = np.asarray(
+                self._classify(
+                    self.state.ring, jnp.asarray(onsets), jnp.asarray(valid)
+                )
+            )
+            out.append(preds[: len(chunk)])
+        return np.concatenate(out, axis=0)
 
     # -- recording commands (reference analysis_action protocol,
     #    recording.py:379-395: 1=quantize_start, 2=quantize_end) -----------

@@ -541,3 +541,46 @@ class TestPipelinedDispatch:
         eng.stop_pipeline()
         # 64 enqueues must never block on the device (CPU step ~ms each)
         assert elapsed < 2.0
+
+
+class TestEngineClassifier:
+    def test_classify_hits_gathers_ring_windows(self):
+        """attach_classifier + classify_hits: the probe model receives
+        exactly the [C, W] onset windows from the device ring."""
+        cfg, locator, eng = _make_engine(ring_seconds=0.5)
+
+        class Probe:
+            def apply(self, params, wins):  # [K, C, W]
+                return wins.sum(axis=-1)  # [K, C]
+
+        W, PRE = 256, 64
+        eng.attach_classifier(Probe(), None, window=W, pre=PRE, capacity=4)
+
+        rng = np.random.default_rng(7)
+        n = SR // 2
+        audio = rng.normal(0, 1e-4, (n, 3)).astype(np.float32)
+        base = 30000
+        t = np.arange(600)
+        burst = (np.sin(2 * np.pi * 5000 / SR * t) * np.exp(-t / 150) * 0.6)
+        audio[base : base + 600] += burst[:, None].astype(np.float32)
+        eng.warmup(audio[:12800])
+        events = []
+        for i in range(12800 // 128, n // 128):
+            eng.process(audio[i * 128 : (i + 1) * 128])
+        events = eng.harvest()
+        assert events, "no hits located"
+        preds = eng.classify_hits(events)
+        assert preds.shape == (len(events), 3)
+        for (onset, _), p in zip(events, preds):
+            # engine sample counts start at 0 at the first process() call
+            # (warmup doesn't write the ring) — translate to audio indices
+            start = 12800 + onset - PRE
+            ref = audio[start : start + W].sum(axis=0)
+            np.testing.assert_allclose(p, ref, rtol=1e-4, atol=1e-5)
+
+    def test_classify_requires_attach(self):
+        cfg, locator, eng = _make_engine()
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            eng.classify_hits([(100, None)])
