@@ -18,6 +18,7 @@ buffers).  The TPU equivalents here:
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -254,7 +255,12 @@ def events_from_dense(
     return list(chans), list(onsets)
 
 
-_BIG = jnp.int32(2**30)
+# Sentinel for empty event slots.  Kept as a plain Python int: a
+# module-level ``jnp.int32(...)`` would execute an eager
+# ``convert_element_type`` on the default device at import time — before
+# any caller (e.g. ``dryrun_multichip``) can pin computation to CPU —
+# which breaks imports on hosts whose accelerator plugin is unhealthy.
+_BIG = 2**30
 
 
 def detect_events_time_sharded(
@@ -268,6 +274,7 @@ def detect_events_time_sharded(
     capacity: int = 64,
     backend: str = "scan",
     interpret: bool = False,
+    return_dropped: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Detect over one long recording ``[T, C]`` time-sharded across the
     mesh, with ON-DEVICE cross-device event aggregation.
@@ -281,8 +288,14 @@ def detect_events_time_sharded(
     (grouping, locate) need no host round-trip.
 
     Returns host ``(channels [N], onsets [N])`` sorted by onset time.
-    ``capacity`` bounds events per device segment (overflow drops the
-    latest events of that segment).
+    ``capacity`` bounds events per device segment; overflow drops the
+    LATEST events of that segment, and is never silent: per-segment raw
+    event counts ride the same ``all_gather``, a :class:`UserWarning` is
+    emitted naming the per-segment drop counts, and
+    ``return_dropped=True`` additionally returns the ``[D]`` array of
+    dropped-event counts (the reference's SHM path, recording.py:133-145,
+    is lossless — callers mining unknown hit densities must be able to
+    see when this bounded queue is not).
     """
     from jax import shard_map
 
@@ -344,7 +357,11 @@ def detect_events_time_sharded(
         # the collective: every device receives every segment's queue
         g_onsets = jax.lax.all_gather(ev_onsets, axis)   # [D, K]
         g_chans = jax.lax.all_gather(ev_chans, axis)
-        return g_onsets, g_chans
+        # raw (pre-capacity) event count rides the same collective so the
+        # host can report overflow drops instead of losing them silently
+        n_raw = jnp.sum(on.astype(jnp.int32))
+        g_counts = jax.lax.all_gather(n_raw, axis)       # [D]
+        return g_onsets, g_chans, g_counts
 
     run = jax.jit(
         shard_map(
@@ -356,13 +373,24 @@ def detect_events_time_sharded(
             check_vma=False,
         )
     )
-    g_onsets, g_chans = run(xs)
+    g_onsets, g_chans, g_counts = run(xs)
     g_onsets = np.asarray(g_onsets).reshape(-1)
     g_chans = np.asarray(g_chans).reshape(-1)
-    valid = g_onsets < int(_BIG)
+    dropped = np.maximum(np.asarray(g_counts) - capacity, 0)
+    if dropped.any():
+        warnings.warn(
+            f"detect_events_time_sharded: event-queue overflow — dropped "
+            f"{int(dropped.sum())} event(s) beyond capacity={capacity} "
+            f"(per-segment drops: {dropped.tolist()}); raise `capacity`",
+            UserWarning,
+            stacklevel=2,
+        )
+    valid = g_onsets < _BIG
     onsets = g_onsets[valid]
     chans = g_chans[valid]
     order = np.argsort(onsets, kind="stable")
+    if return_dropped:
+        return chans[order], onsets[order], dropped
     return chans[order], onsets[order]
 
 

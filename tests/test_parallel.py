@@ -227,6 +227,49 @@ class TestEventAggregation:
                                    min_channels=2)
         assert groups is not None and len(groups) > 0
 
+    def test_overflow_reports_dropped(self, mesh):
+        """Event-queue overflow must not be silent: a warning names the
+        per-segment drop counts and ``return_dropped`` surfaces them."""
+        import warnings as _warnings
+
+        from onset_fingerprinting_tpu.parallel import (
+            detect_events_time_sharded,
+        )
+
+        cfg = DetectorConfig(
+            n_channels=2, block_size=128, hipass_freq=0.0, sr=96000
+        )
+        static, params, state = detector_init(cfg)
+        T = 128 * 80 * 8
+        x = synth(T, 2, seed=4)
+        # capacity=2 < events per segment in this fixture → overflow
+        with pytest.warns(UserWarning, match="dropped"):
+            chans, onsets, dropped = detect_events_time_sharded(
+                static, params, state, jnp.asarray(x), mesh,
+                halo=128 * 60, capacity=2, return_dropped=True,
+            )
+        assert dropped.shape == (8,)
+        assert dropped.sum() > 0
+        # every surviving queue holds exactly `capacity` events where raw
+        # count exceeded it
+        _, (on_r, d_r, _) = detect_offline(
+            static, params, state, jnp.asarray(x)
+        )
+        ch_r, ev_r = events_from_dense(np.asarray(on_r), np.asarray(d_r),
+                                       128)
+        assert len(onsets) + dropped.sum() == len(ev_r)
+        # kept events are the EARLIEST per segment → still a subset of the
+        # sequential event set
+        assert set(zip(chans, onsets)) <= set(zip(ch_r, ev_r))
+        # ample capacity → no drops, no warning
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            _, _, dropped0 = detect_events_time_sharded(
+                static, params, state, jnp.asarray(x), mesh,
+                halo=128 * 60, capacity=64, return_dropped=True,
+            )
+        assert dropped0.sum() == 0
+
 
 class TestDetectFingerprintSharded:
     def test_full_pipeline_matches_unsharded(self, mesh):
