@@ -123,9 +123,15 @@ def make_fingerprinter(n_streams: int, block_size: int):
     return params, fingerprint
 
 
-def bench_width(n_streams: int, n_iter: int = 10):
+def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     """Measure detect→fingerprint at one channel width.  Returns a dict of
-    timings (seconds per 1 s of audio per stage, median over n_iter)."""
+    timings (seconds per 1 s of audio per stage, median over n_iter).
+
+    ``chunks > 1`` streams each second of audio through the pipeline in
+    ``chunks`` sequential dispatches of ``SR/chunks`` samples (carried-state
+    chunking, detect_offline_chunked's scheme) — this bounds peak HBM and
+    lifts the C=16384 1-second allocation ceiling; all ``chunks`` dispatches
+    are timed together (they queue asynchronously, one sync at the end)."""
     import jax
     import jax.numpy as jnp
 
@@ -135,7 +141,8 @@ def bench_width(n_streams: int, n_iter: int = 10):
     )
 
     c = n_streams * CHANNELS_PER_STREAM
-    t = SR
+    t = SR // chunks
+    assert t % 128 == 0, f"SR/chunks={t} must be a block multiple"
     cfg = DetectorConfig(
         n_channels=c, block_size=128, hipass_freq=2000.0, sr=SR,
         # independent streams must not couple through the reference's
@@ -161,8 +168,35 @@ def bench_width(n_streams: int, n_iter: int = 10):
             st, (on, d, _) = detect_offline(static, params_d, st, xd)
             return st, (on, d, None)
 
+    from onset_fingerprinting_tpu.ops.windows import top_hit_blocks
+
     fp_params, fingerprint = make_fingerprinter(n_streams, cfg.block_size)
     xd = make_audio(t, c)  # synthesized on device
+
+    @jax.jit
+    def correctness(on):
+        """Detection precision/recall against the injected hit grid
+        (the reference's harness checks correctness AND speed together,
+        c/test.py:24-46).  Injected onsets: 5000 + 9600k, k in [0, 10).
+        A detected hit block is a true positive iff it lies within ``tol``
+        of the grid (same-burst adjacent-block fires count as duplicates,
+        not spurious); recall counts DISTINCT injected onsets matched."""
+        period, first, tol = 9600, 5000, 512
+        n_exp = (t - 5701) // period + 1  # bursts fitting before t-5700
+        starts, valid = top_hit_blocks(
+            on, cfg.block_size, n_streams, MAX_HITS
+        )
+        rel = jnp.mod(starts - first, period)
+        dist = jnp.minimum(rel, period - rel)
+        tp = valid & (dist <= tol)
+        spurious = valid & ~tp
+        k_idx = jnp.round((starts - first) / period).astype(jnp.int32)
+        k_ok = tp & (k_idx >= 0) & (k_idx < n_exp)
+        onehot = jax.nn.one_hot(
+            jnp.where(k_ok, k_idx, -1), n_exp, dtype=jnp.int32
+        )  # [S, K, n_exp]; -1 rows are all-zero
+        matched = jnp.sum(jnp.any(onehot > 0, axis=1))
+        return jnp.sum(tp), jnp.sum(spurious), matched
 
     # sync each stage by pulling a scalar reduction — through the axon
     # tunnel block_until_ready alone under-reports device time
@@ -174,20 +208,33 @@ def bench_width(n_streams: int, n_iter: int = 10):
     preds, n_hits = fingerprint(fp_params, xd, on, d)
     _ = float(jnp.sum(preds))
     t_fp_compile = time.perf_counter() - t0
+    n_tp, n_spur, n_matched = (int(v) for v in correctness(on))
+    n_expected = n_streams * ((t - 5701) // 9600 + 1)
+    precision = n_tp / max(n_tp + n_spur, 1)
+    recall = n_matched / n_expected
     log(
         f"C={c}: compile+first detect {t_detect_compile:.1f}s, "
         f"fingerprint {t_fp_compile:.1f}s; "
-        f"hits fingerprinted: {int(n_hits)}/{n_streams * 10}"
+        f"hits fingerprinted: {int(n_hits)}/{n_expected}"
+    )
+    log(
+        f"C={c} correctness: {n_matched}/{n_expected} injected onsets "
+        f"matched (recall {recall:.4f}), precision {precision:.4f} "
+        f"({n_spur} spurious), {n_tp - n_matched} same-burst duplicate "
+        f"block-fires (counted once for recall)"
     )
 
-    # per-stage breakdown (each stage pays one tunnel-dispatch sync)
+    # per-stage breakdown (each stage pays one tunnel-dispatch sync);
+    # with chunking, one iteration = `chunks` dispatches = 1 s of audio
     det_times, fp_times = [], []
     for _ in range(n_iter):
         t0 = time.perf_counter()
-        _, (on, d, _) = run(state, xd)
+        for _j in range(chunks):
+            _, (on, d, _) = run(state, xd)
         _ = int(jnp.sum(on)) + int(jnp.sum(d))
         t1 = time.perf_counter()
-        preds, n_hits = fingerprint(fp_params, xd, on, d)
+        for _j in range(chunks):
+            preds, n_hits = fingerprint(fp_params, xd, on, d)
         _ = float(jnp.sum(preds))
         t2 = time.perf_counter()
         det_times.append(t1 - t0)
@@ -207,8 +254,9 @@ def bench_width(n_streams: int, n_iter: int = 10):
     _ = float(s)
     for _ in range(n_iter):
         t0 = time.perf_counter()
-        s, n_hits = pipeline(state, xd)
-        _ = float(s)
+        for _j in range(chunks):
+            s, n_hits = pipeline(state, xd)
+        _ = float(s)  # chunk dispatches queue async; one sync per second
         tot_times.append(time.perf_counter() - t0)
 
     # dispatch+sync floor: a no-op jit call through the same transport —
@@ -226,6 +274,7 @@ def bench_width(n_streams: int, n_iter: int = 10):
         "path": path,
         "n_streams": n_streams,
         "c": c,
+        "chunks": chunks,
         "detect_ms": 1e3 * float(np.median(det_times)),
         "fingerprint_ms": 1e3 * float(np.median(fp_times)),
         "total_ms_median": 1e3 * float(np.median(tot_times)),
@@ -234,6 +283,11 @@ def bench_width(n_streams: int, n_iter: int = 10):
         "total_ms_std": 1e3 * float(np.std(tot_times)),
         "dispatch_floor_ms": floor_ms,
         "n_hits": int(n_hits),
+        "n_expected": n_expected,
+        "precision": precision,
+        "recall": recall,
+        "n_spurious": n_spur,
+        "n_duplicates": n_tp - n_matched,
     }
 
 
@@ -255,11 +309,16 @@ def main() -> int:
     n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "2048"))
 
     if os.environ.get("OFPTPU_BENCH_SWEEP") == "1":
-        for s in (256, 512, 1024, 2048):
-            r = bench_width(s, n_iter=5)
+        # C=16384 (4096 streams) exceeds HBM as ONE 1-second dispatch;
+        # carried-state time-chunking (chunks=2) bounds peak HBM at half a
+        # second and extends the sweep past the old ceiling
+        for s, chunks in ((256, 1), (512, 1), (1024, 1), (2048, 1),
+                          (4096, 2)):
+            r = bench_width(s, n_iter=5, chunks=chunks)
             rt = s / (r["total_ms_median"] / 1e3)
             log(
-                f"sweep C={r['c']}: detect {r['detect_ms']:.1f} ms + "
+                f"sweep C={r['c']} (chunks={chunks}): "
+                f"detect {r['detect_ms']:.1f} ms + "
                 f"fingerprint {r['fingerprint_ms']:.1f} ms per s-audio "
                 f"→ {rt:.0f}x realtime"
             )
@@ -282,6 +341,15 @@ def main() -> int:
         f"device-only estimate {dev_ms:.1f} ms "
         f"→ {n_streams / (dev_ms / 1e3):.0f}x on a locally-attached chip"
     )
+    # correctness gate: the headline is only valid if the detector actually
+    # found the injected hits (c/test.py checks correctness + speed in one
+    # harness); duplicates are same-burst adjacent-block fires, not misses
+    correctness_ok = r["recall"] >= 0.99 and r["precision"] >= 0.99
+    if not correctness_ok:
+        log(
+            f"CORRECTNESS GATE FAILED: recall {r['recall']:.4f} / "
+            f"precision {r['precision']:.4f} (both must be >= 0.99)"
+        )
     print(
         json.dumps(
             {
@@ -289,10 +357,14 @@ def main() -> int:
                 "value": round(rt_factor, 1),
                 "unit": "x_realtime_4ch_96kHz",
                 "vs_baseline": round(rt_factor / 1000.0, 3),
+                "recall": round(r["recall"], 4),
+                "precision": round(r["precision"], 4),
+                "n_duplicates": r["n_duplicates"],
+                "correctness_ok": correctness_ok,
             }
         )
     )
-    return 0
+    return 0 if correctness_ok else 1
 
 
 if __name__ == "__main__":

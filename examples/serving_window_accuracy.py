@@ -1,0 +1,158 @@
+"""Measure the accuracy cost of block-aligned serving windows.
+
+The reference extracts exact onset-anchored windows for its models
+(data.py:55-120).  The TPU serving/bench path instead gathers windows at
+the DETECTION BLOCK boundary (`top_hit_blocks` + `gather_block_windows`):
+the onset lands at offset ``PRE + (onset mod block)`` in the window — up to
+127 samples of jitter at block=128 — because exact per-hit row shifts cost
+~15x the whole detection pass on TPU (bench.py).  This experiment
+quantifies what that jitter costs and shows the training-time fix:
+
+- model A: trained with exact anchoring (pre=8, ±16 shift augmentation),
+  evaluated (a) exactly and (b) through the serving block-aligned gather;
+- model B: trained with SERVING-MATCHED anchoring (pre=128, ±64 shift — the
+  same offset distribution the block-aligned gather produces), evaluated
+  through the serving gather.
+
+PASS = B's serving-path error stays within 1.3x of A's exact-path error,
+i.e. matched augmentation recovers the block-aligned fast path's accuracy.
+
+Run: python examples/serving_window_accuracy.py [--cpu] [--hits N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from onset_fingerprinting_tpu.core.compile_cache import (
+    enable_compilation_cache,
+)
+from onset_fingerprinting_tpu.core.config import TrainConfig
+from onset_fingerprinting_tpu.data.datasets import MCPOSD
+from onset_fingerprinting_tpu.data.synth import synth_location_session
+from onset_fingerprinting_tpu.models.experiment import build_cccnn
+from onset_fingerprinting_tpu.models.train import Trainer, make_optimizer
+
+SR = 96000
+W = 256
+BLOCK = 128
+PRE_SERVE = 64  # bench.py PRE: lead-in before the block-aligned start
+
+
+def serving_windows(audio: np.ndarray, onsets: np.ndarray) -> np.ndarray:
+    """Block-aligned extraction exactly like the serving path: window row0
+    = (onset // BLOCK) * BLOCK - PRE_SERVE, so the onset sits at offset
+    PRE_SERVE + (onset % BLOCK) — jitter in [PRE_SERVE, PRE_SERVE+127]."""
+    rows = (onsets // BLOCK) * BLOCK - PRE_SERVE
+    rows = np.clip(rows, 0, audio.shape[0] - W)
+    idx = rows[:, None] + np.arange(W)[None, :]
+    return np.transpose(audio[idx], (0, 2, 1)).astype(np.float32)
+
+
+def train_cccnn(x, y, val, epochs, lr):
+    model = build_cccnn(None, channels=4)
+    cfg = TrainConfig(
+        lr=lr, num_epochs=epochs, min_epochs=0, patience=epochs,
+        loss="l1", seed=0, optimizer="sgd",
+    )
+    trainer = Trainer(
+        model, cfg,
+        optimizer=make_optimizer(
+            "sgd", lr * 100, schedule="cosine", schedule_period=100,
+            weight_decay=1e-3, momentum=0.8,
+        ),
+    )
+    state = trainer.fit(
+        (x, y), val, epochs_per_step=max(epochs // 10, 1)
+    )
+    return trainer, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--hits", type=int, default=512)
+    ap.add_argument("--epochs", type=int, default=1500)
+    ap.add_argument("--lr", type=float, default=1.65e-4)
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        folder = Path(td)
+        onsets, locs = synth_location_session(
+            folder, n_hits=args.hits, sr=SR, seed=0
+        )
+        # exact-anchored training set (the reference's extraction)
+        ds_a = MCPOSD.from_file(folder, "combined0", W, 8, 16, 4)
+        # serving-matched training set: onset offset ~ U[64, 192]
+        ds_b = MCPOSD.from_file(folder, "combined0", W, 128, 64, 4)
+        exact = MCPOSD.from_file(folder, "combined0", W, 8, 0, 1)
+        from onset_fingerprinting_tpu.core.audio_io import read_wav
+
+        audio, _ = read_wav(folder / "combined0.wav")
+
+    n = args.hits
+    rng = np.random.default_rng(1)
+    test_idx = rng.permutation(n)[: n // 4]
+    test_mask = np.zeros(n, bool)
+    test_mask[test_idx] = True
+
+    xa, ya = (np.asarray(v) for v in ds_a[0])
+    xb, yb = (np.asarray(v) for v in ds_b[0])
+    keep = np.tile(~test_mask, 4)  # 4 extraction rounds
+    val_exact = (
+        np.asarray(exact.x)[test_mask], np.asarray(exact.y)[test_mask]
+    )
+    y_test = locs[test_mask]
+    x_serv = serving_windows(audio, onsets[test_mask])
+    x_exact = np.asarray(exact.x)[test_mask]
+
+    print(
+        f"fixture {n} hits; train {keep.sum()} x4-aug, test {test_mask.sum()}"
+        f" ({time.perf_counter()-t0:.0f}s)", flush=True,
+    )
+
+    tr_a, st_a = train_cccnn(
+        xa[keep], ya[keep], val_exact, args.epochs, args.lr
+    )
+    a_exact = tr_a.test(st_a, (x_exact, y_test))
+    a_serv = tr_a.test(st_a, (x_serv, y_test))
+    print(f"model A (exact-trained): exact {a_exact:.3f} cm, "
+          f"serving-gather {a_serv:.3f} cm", flush=True)
+
+    tr_b, st_b = train_cccnn(
+        xb[keep], yb[keep], None, args.epochs, args.lr
+    )
+    b_serv = tr_b.test(st_b, (x_serv, y_test))
+    b_exact = tr_b.test(st_b, (x_exact, y_test))
+    print(f"model B (serving-matched aug): serving-gather {b_serv:.3f} cm, "
+          f"exact {b_exact:.3f} cm", flush=True)
+
+    print()
+    print(f"{'path':<42}{'test L1 (cm)':>14}")
+    print(f"{'A: exact train  -> exact eval':<42}{a_exact:>14.3f}")
+    print(f"{'A: exact train  -> block-aligned eval':<42}{a_serv:>14.3f}")
+    print(f"{'B: matched aug  -> block-aligned eval':<42}{b_serv:>14.3f}")
+    print(f"total {time.perf_counter()-t0:.0f}s")
+
+    ok = b_serv < 1.3 * a_exact
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

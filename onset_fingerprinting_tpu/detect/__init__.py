@@ -3,6 +3,7 @@ from onset_fingerprinting_tpu.detect.amplitude import (
     DetectorState,
     detect_block,
     detect_offline,
+    detect_offline_chunked,
     detect_onsets_amplitude,
     detector_init,
     warmup_minmax,

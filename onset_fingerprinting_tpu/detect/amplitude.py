@@ -371,6 +371,75 @@ def detect_offline(
     return state, (on, deltas, rel.reshape(-1, x.shape[-1]))
 
 
+def detect_offline_chunked(
+    static: _Static,
+    params: DetectorParams,
+    state: DetectorState,
+    x,
+    chunk_blocks: int = 4096,
+    backend: str = "scan",
+    emit_rel: bool = True,
+    interpret: bool = False,
+) -> tuple[DetectorState, tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+    """Constant-HBM offline detection over arbitrarily long recordings.
+
+    The streaming detector carries all its state across block boundaries,
+    so running it chunk-by-chunk is EXACT — bit-identical to one
+    whole-recording dispatch (the reference's own constant-memory block
+    loop, detection.py:73-82).  Each chunk of ``chunk_blocks`` detector
+    blocks is pushed to the device, scanned, and its dense results pulled
+    back to host, so peak HBM is one chunk regardless of recording length
+    or channel width — this lifts the 1-second ceiling at C=16384 that a
+    single-dispatch f32 recording hits.
+
+    :param x: host or device audio ``[T, C]`` (trailing partial block
+        dropped, like the offline drivers)
+    :param chunk_blocks: detector blocks per device dispatch
+    :param backend: 'scan' (XLA) or 'pallas' (fused kernel)
+    :param emit_rel: also assemble the full relative envelope on host
+        (skipping it halves device residency and host transfer)
+    :returns: ``(final_state, (on [nb, C], deltas [nb, C], rel [T, C] or
+        None))`` as host arrays
+    """
+    x = np.asarray(x)
+    bsz = static.block_size
+    t = (x.shape[0] // bsz) * bsz
+    x = x[:t]
+    if backend == "pallas":
+        from onset_fingerprinting_tpu.ops.pallas_detector import (
+            pallas_detect_offline,
+            pallas_static,
+        )
+
+        pstatic = pallas_static(static, params)
+
+        def run(st, xc):
+            return pallas_detect_offline(
+                pstatic, params, st, xc, interpret, emit_rel=emit_rel
+            )
+    else:
+
+        def run(st, xc):
+            st, (on, d, rel) = detect_offline(static, params, st, xc)
+            return st, (on, d, rel if emit_rel else None)
+
+    step = chunk_blocks * bsz
+    ons, deltas, rels = [], [], []
+    for start in range(0, t, step):
+        xc = jnp.asarray(x[start : start + step])
+        state, (on, d, rel) = run(state, xc)
+        ons.append(np.asarray(on))
+        deltas.append(np.asarray(d))
+        if emit_rel and rel is not None:
+            rels.append(np.asarray(rel))
+    on = np.concatenate(ons) if ons else np.zeros((0, x.shape[1]), bool)
+    d = np.concatenate(deltas) if deltas else np.zeros(
+        (0, x.shape[1]), np.int32
+    )
+    rel = np.concatenate(rels) if rels else None
+    return state, (on, d, rel if emit_rel else None)
+
+
 class AmplitudeOnsetDetector:
     """Stateful host-facing wrapper with the reference's call contract
     (detection.py:727-798): ``od(x[B, C]) -> (channels, deltas, rel)``.

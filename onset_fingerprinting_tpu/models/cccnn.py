@@ -106,6 +106,12 @@ class CCCNN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x: ``[B, C, L]`` onset windows → ``[B, output_size]``."""
+        if self.cc_impl not in ("fft", "dft"):
+            # a typo ('DFT', 'matmul') must not silently fall back to the
+            # ~30x slower FFT path in a serving setup tuned for 'dft'
+            raise ValueError(
+                f"cc_impl must be 'fft' or 'dft', got {self.cc_impl!r}"
+            )
         b, c, length = x.shape
         ks = (
             [self.kernel_sizes] * len(self.layer_sizes)

@@ -115,7 +115,7 @@ def _gather_pallas(
                 (1, _SUB, LANE), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, _SUB, window), lambda i, *_: (i, 0, 0),
@@ -155,8 +155,11 @@ def gather_block_windows(
     :param backend: 'pallas' (DMA gather kernel — fastest on TPU, measured
         292 → ~20 ms for 32k hits over C=8192), 'xla' (slab
         dynamic-slice + mask reduce), or 'auto' (pallas on TPU)
-    :returns: ``[S, K, cps, W]`` float32 windows,
-        ``windows[s, k, c, w] == x[starts[s, k] - pre + w, s*cps + c]``
+    :returns: ``[S, K, cps, W]`` float32 windows.  Row starts are floored
+        to 8-sample (sublane) alignment: ``windows[s, k, c, w] ==
+        x[((starts[s, k] - pre) // 8) * 8 + w, s*cps + c]`` — block-aligned
+        ``starts`` with 8-aligned ``pre`` (the serving path) are read
+        exactly; other callers see up to 7 samples of extra lead-in.
     """
     t, c = x.shape
     cps = channels_per_stream
@@ -222,8 +225,9 @@ def top_hit_blocks(
     :param on: ``[nb, S*cps]`` bool per-block fire flags
     :param block_size: detector block size
     :returns: ``(starts [S, K] int32 block-start samples, valid [S, K]
-        bool)`` — the first ``capacity`` hit blocks per stream in block
-        order (``lax.top_k`` on a 0/1 score breaks ties by index).
+        bool)`` — the first ``capacity`` hit blocks per stream, in time
+        order, selected by hit-count prefix sum (slot ``j`` holds the
+        unique block whose running hit count equals ``j+1``).
     """
     nb = on.shape[0]
     cps = on.shape[1] // n_streams

@@ -91,7 +91,9 @@ def batch_self_correlate_dft(a: jnp.ndarray) -> jnp.ndarray:
     a DFT is just a matmul, which is exactly what the MXU is for.  The
     power spectrum of a real signal is real and even, so the inverse
     transform is one cosine matmul.  f32-exact to ~1e-4 abs like the FFT
-    path.
+    path — which requires HIGHEST matmul precision: the TPU default is a
+    single bf16 pass (~4e-3 relative), and the 3-pass cost is negligible
+    at these tiny matmul shapes.
     """
     n = a.shape[-1]
     dft_re, dft_im, inv = _dft_matrices(n)
@@ -99,10 +101,12 @@ def batch_self_correlate_dft(a: jnp.ndarray) -> jnp.ndarray:
     pad = jnp.concatenate(
         [a, jnp.zeros((*a.shape[:-1], L - n), a.dtype)], axis=-1
     )
-    re = pad @ jnp.asarray(dft_re)
-    im = pad @ jnp.asarray(dft_im)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(pad, jnp.asarray(dft_re), precision=hi)
+    im = jnp.matmul(pad, jnp.asarray(dft_im), precision=hi)
     power = re * re + im * im
-    cc = power @ jnp.asarray(inv)  # [..., L] circular self-CC
+    # [..., L] circular self-CC
+    cc = jnp.matmul(power, jnp.asarray(inv), precision=hi)
     return jnp.concatenate([cc[..., L - (n - 1):], cc[..., :n]], axis=-1)
 
 

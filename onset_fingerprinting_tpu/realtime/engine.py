@@ -105,11 +105,22 @@ def make_classify_fn(
 
     Returns ``classify(ring, onsets [capacity] i32 absolute, valid
     [capacity] bool) -> preds [capacity, out]`` (zero-masked).
+
+    Requires ``window <= ring.capacity`` (checked at trace time — with a
+    ring shorter than the window the history clamp below would invert and
+    read unwritten frames).  An onset within ``window - pre`` samples of
+    the write head has its window shifted back so it ends at the head
+    (the onset then sits later than offset ``pre``) rather than dropped.
     """
 
     @jax.jit
     def classify(ring: RingBuffer, onsets: jnp.ndarray, valid: jnp.ndarray):
         cap = ring.capacity
+        if window > cap:
+            raise ValueError(
+                f"classify window ({window}) exceeds ring capacity "
+                f"({cap}); allocate a longer ring"
+            )
         start = onsets - pre
         # clamp into the ring's live history (never read past the write
         # head or before the oldest retained frame)
