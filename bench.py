@@ -97,6 +97,8 @@ def make_fingerprinter(n_streams: int, block_size: int):
         # (655k short signals); the MXU DFT is ~1e-4-identical and ~30x
         # faster (ops/xcorr.py::batch_self_correlate_dft)
         cc_impl="dft",
+        # the capability-proven serving head (models/cccnn.py::cc_norm)
+        cc_norm=True,
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, cps, WINDOW), jnp.float32)

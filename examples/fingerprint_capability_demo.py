@@ -79,8 +79,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--hits", type=int, default=768)
-    ap.add_argument("--epochs", type=int, default=3000)
-    ap.add_argument("--lr", type=float, default=1.65e-4)
+    ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--lr", type=float, default=3e-3)
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -119,18 +119,18 @@ def main():
     fcnn_err = l1_cm(bundle(lags_test), test[1])
     print(f"lag-FCNN done ({time.perf_counter()-t0:.1f}s)", flush=True)
 
-    # 3. raw-window CCCNN, the flagship (train.py:79-90 recipe)
+    # 3. raw-window CCCNN, the flagship (train.py:79-90 skeleton with the
+    # normalized-CC head + adam — see models/experiment.build_cccnn)
     model = build_cccnn(None, channels=4)
     cfg = TrainConfig(
         lr=args.lr, num_epochs=args.epochs, min_epochs=0,
-        patience=args.epochs, loss="l1", seed=0, optimizer="sgd",
+        patience=args.epochs, loss="l1", seed=0, optimizer="adam",
     )
     trainer = Trainer(
         model,
         cfg,
         optimizer=make_optimizer(
-            "sgd", args.lr * 100, schedule="cosine", schedule_period=100,
-            weight_decay=1e-3, momentum=0.8,
+            "adam", args.lr, schedule="cosine", schedule_period=100,
         ),
     )
     state = trainer.fit(

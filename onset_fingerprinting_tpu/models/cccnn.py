@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -41,6 +42,55 @@ def paired_xcorr(x: jnp.ndarray, C: int, K: int) -> jnp.ndarray:
     return cc.mean(axis=2)
 
 
+class Conv1dMXU(nn.Module):
+    """Stride-1 Conv1d computed as ONE dense matmul (Toeplitz form).
+
+    XLA's TPU conv algorithm collapses at tiny feature counts (the flagship
+    stack is 1→5→…→5 channels): the MXU wants contraction dims in the
+    hundreds, and a [B, V, 5] conv leaves it ~99% idle — measured 25-40 ms
+    of the serving fingerprint stage.  Materializing the banded weight
+    matrix ``T[(u, c), (v, o)] = w[u-v, c, o]`` turns the whole layer into
+    ``x.reshape(B, U*C) @ T`` — a [B, ~1280] × [~1280, ~1280] matmul, the
+    exact shape the MXU is built for.  ~V/K more FLOPs than the conv
+    formulation, repaid many times over in utilization.
+
+    Param tree is identical to ``nn.Conv`` (``kernel [K, C, F]``, ``bias
+    [F]``), so checkpoints swap freely between impls (pass ``name=`` to pin
+    the collection path).
+    """
+
+    features: int
+    kernel_size: int
+    padding: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, V, C]
+        b, v, c = x.shape
+        k = self.kernel_size
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        p = self.padding
+        u = v + 2 * p
+        vout = u - k + 1
+        xp = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
+        ui = jnp.arange(u)[:, None]
+        vi = jnp.arange(vout)[None, :]
+        kk = ui - vi  # y[v] reads xp[v + k'] → row u feeds col v iff
+        mask = (kk >= 0) & (kk < k)  # 0 <= u - v < K
+        t = jnp.where(
+            mask[..., None, None], w[jnp.clip(kk, 0, k - 1)], 0.0
+        )  # [U, Vout, C, F]
+        t = t.transpose(0, 2, 1, 3).reshape(u * c, vout * self.features)
+        y = xp.reshape(b, u * c).astype(self.dtype) @ t.astype(self.dtype)
+        y = y.reshape(b, vout, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class _ConvStack(nn.Module):
     """Shared conv feature extractor applied per channel.
 
@@ -58,22 +108,42 @@ class _ConvStack(nn.Module):
     pool: bool
     activation: str
     dtype: Any = jnp.float32
+    #: 'conv' = XLA conv; 'mxu' = Toeplitz-matmul form (Conv1dMXU; same
+    #: params, requires stride=1 and dilation=1)
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = ACTIVATIONS[self.activation]
-        # x: [B', L, 1]
-        for width, ks, stride in zip(
-            self.layer_sizes, self.kernel_sizes, self.strides
+        use_mxu = self.conv_impl == "mxu"
+        if use_mxu and (
+            self.dilation != 1 or any(s != 1 for s in self.strides)
         ):
-            x = nn.Conv(
-                features=width,
-                kernel_size=(ks,),
-                strides=(stride,),
-                padding=self.padding,
-                kernel_dilation=(self.dilation,),
-                dtype=self.dtype,
-            )(x)
+            raise ValueError(
+                "conv_impl='mxu' supports stride=1, dilation=1 only"
+            )
+        # x: [B', L, 1]
+        for i, (width, ks, stride) in enumerate(
+            zip(self.layer_sizes, self.kernel_sizes, self.strides)
+        ):
+            if use_mxu:
+                x = Conv1dMXU(
+                    features=width,
+                    kernel_size=ks,
+                    padding=self.padding,
+                    dtype=self.dtype,
+                    name=f"Conv_{i}",  # checkpoint-compatible with nn.Conv
+                )(x)
+            else:
+                x = nn.Conv(
+                    features=width,
+                    kernel_size=(ks,),
+                    strides=(stride,),
+                    padding=self.padding,
+                    kernel_dilation=(self.dilation,),
+                    dtype=self.dtype,
+                    name=f"Conv_{i}",
+                )(x)
             x = act(x)
             if self.batch_norm:
                 # reference uses GroupNorm(1, ·) here (model.py:502)
@@ -102,6 +172,23 @@ class CCCNN(nn.Module):
     #: the MXU — same values to ~1e-4, ~30x faster for short signals at
     #: serving batch sizes)
     cc_impl: str = "fft"
+    #: head redesign: feed the dense layer NORMALIZED self-correlation
+    #: (cc / lag0, bounded in [-1, 1]) concatenated with per-channel
+    #: log-energy (log lag0), instead of the reference's softmax over raw
+    #: correlations (model.py:534).  The raw-CC softmax is degenerate for
+    #: self-CC: with unit-variance features the lag-0 peak is ~V*K,
+    #: hundreds above every other lag, so the softmax saturates one-hot,
+    #: gradients through it vanish, and training freezes at
+    #: predict-the-mean (measured; conv-stack grad norms ~1e-9).  The
+    #: normalized-CC head keeps the waveform-shape signal well-conditioned
+    #: AND retains the inter-channel energy ratios the normalization would
+    #: otherwise discard — on the modal-drum fixture those two cues carry
+    #: the position signal.  Default False preserves reference parity.
+    cc_norm: bool = False
+    #: conv-stack implementation: 'conv' (XLA conv) or 'mxu'
+    #: (Toeplitz-matmul, see Conv1dMXU — same params, much faster on TPU
+    #: for the few-feature flagship stack)
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -133,6 +220,7 @@ class CCCNN(nn.Module):
             pool=self.pool,
             activation=self.activation,
             dtype=self.dtype,
+            conv_impl=self.conv_impl,
         )
         if self.group:
             # independent weights per channel: vmap the stack over channels
@@ -158,7 +246,18 @@ class CCCNN(nn.Module):
             cc = batch_self_correlate_dft(feats).sum(axis=2)
         else:
             cc = batch_full_correlate(feats, feats).sum(axis=2)  # [B,C,2V-1]
-        probs = nn.softmax(cc, axis=-1)
-        probs = probs.reshape(b, -1)
+        if self.cc_norm:
+            v = feats.shape[-1]
+            # lag-0 (the center column) is sum over maps of ||f||^2
+            lag0 = cc[..., v - 1 : v] + 1e-6
+            probs = jnp.concatenate(
+                [
+                    (cc / lag0).reshape(b, -1),
+                    jnp.log(lag0).reshape(b, -1),
+                ],
+                axis=-1,
+            )
+        else:
+            probs = nn.softmax(cc, axis=-1).reshape(b, -1)
         probs = nn.Dropout(self.dropout_rate, deterministic=not train)(probs)
         return nn.Dense(self.output_size)(probs)

@@ -27,7 +27,13 @@ from onset_fingerprinting_tpu.models.train import Trainer, make_optimizer
 def build_cccnn(trial: Optional[Trial] = None, channels: int = 4) -> CCCNN:
     """The reference's HPO-winning architecture skeleton (train.py:79-90):
     7 conv layers of width 5 with kernel schedule [1,33,64,15,15,15,1];
-    dropout searched when a trial is given."""
+    dropout searched when a trial is given.
+
+    Uses the normalized-CC head (``cc_norm=True``): the reference's raw-CC
+    softmax head saturates one-hot for self-correlations and cannot train
+    (see CCCNN.cc_norm); with it, the same conv skeleton reaches sub-cm on
+    the modal-drum fixture (examples/fingerprint_capability_demo.py).
+    """
     dropout = trial.suggest_float("dropout", 0.0, 0.1) if trial else 0.0
     return CCCNN(
         output_size=2,
@@ -37,6 +43,7 @@ def build_cccnn(trial: Optional[Trial] = None, channels: int = 4) -> CCCNN:
         dropout_rate=dropout,
         batch_norm=True,
         group=False,
+        cc_norm=True,
     )
 
 
@@ -68,7 +75,10 @@ def run_location_hpo(
 
     def objective(trial: Trial) -> float:
         model = build_cccnn(trial, channels)
-        lr = trial.suggest_float("lr", 1e-4, 1e-2, log=True)
+        # adam: the head's dense gradients and the conv stack's differ by
+        # ~2 orders of magnitude; uniform-LR SGD (the reference's LCCCNN
+        # recipe, model.py:606-614) plateaus orders of magnitude higher
+        lr = trial.suggest_float("lr", 3e-4, 1e-2, log=True)
         cfg = TrainConfig(
             lr=lr,
             num_epochs=num_epochs,
@@ -76,14 +86,13 @@ def run_location_hpo(
             patience=patience,
             loss="l1",
             seed=seed + trial.number,
-            optimizer="sgd",
+            optimizer="adam",
         )
         trainer = Trainer(
             model,
             cfg,
             optimizer=make_optimizer(
-                "sgd", lr * 100, schedule="cosine", schedule_period=100,
-                weight_decay=1e-3, momentum=0.8,
+                "adam", lr, schedule="cosine", schedule_period=100,
             ),
             mesh=mesh,
         )

@@ -226,6 +226,112 @@ class TestClassification:
         assert acc > 0.9
 
 
+class TestCCNormHead:
+    def test_raw_softmax_head_has_dead_conv_gradients(self):
+        """Documents WHY cc_norm exists: the reference's raw-CC softmax
+        saturates one-hot for self-correlations, killing conv-stack
+        gradients; the normalized-CC head keeps them alive."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (16, 4, 128)).astype(np.float32))
+        y = jnp.asarray(rng.normal(0, 5, (16, 2)).astype(np.float32))
+        norms = {}
+        for ccn in (False, True):
+            model = CCCNN(
+                output_size=2, channels=4, layer_sizes=[4, 4],
+                kernel_sizes=9, batch_norm=True, dropout_rate=0.0,
+                cc_norm=ccn,
+            )
+            v = model.init(jax.random.PRNGKey(0), x, train=False)
+
+            def loss(p):
+                out = model.apply({**v, "params": p}, x, train=False)
+                return jnp.mean(jnp.abs(out - y))
+
+            g = jax.grad(loss)(v["params"])
+            conv = g["_ConvStack_0"]["Conv_0"]["kernel"]
+            norms[ccn] = float(jnp.linalg.norm(conv))
+        assert norms[False] < 1e-6          # saturated softmax: dead
+        assert norms[True] > 1e3 * max(norms[False], 1e-12)  # alive
+
+    def test_cc_norm_head_shape_and_energy_features(self):
+        """cc_norm head = [normalized CC (C*(2V-1)) | log-energy (C)]:
+        output finite, and scaling one channel's input changes ONLY that
+        channel's energy feature, not its normalized CC."""
+        model = CCCNN(
+            output_size=2, channels=3, layer_sizes=[4], kernel_sizes=5,
+            dropout_rate=0.0, cc_norm=True,
+        )
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1, (4, 3, 64)).astype(np.float32)
+        v = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+        out = model.apply(v, jnp.asarray(x), train=False)
+        assert out.shape == (4, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_cc_norm_with_dft_impl_matches_fft(self):
+        model_kw = dict(
+            output_size=2, channels=2, layer_sizes=[3], kernel_sizes=5,
+            dropout_rate=0.0, cc_norm=True,
+        )
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 1, (4, 2, 64)).astype(np.float32))
+        m_fft = CCCNN(cc_impl="fft", **model_kw)
+        m_dft = CCCNN(cc_impl="dft", **model_kw)
+        v = m_fft.init(jax.random.PRNGKey(0), x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(m_fft.apply(v, x, train=False)),
+            np.asarray(m_dft.apply(v, x, train=False)),
+            atol=2e-4,
+        )
+
+    def test_invalid_cc_impl_raises(self):
+        model = CCCNN(output_size=2, channels=2, layer_sizes=[3],
+                      kernel_sizes=5, cc_impl="DFT")
+        x = jnp.zeros((2, 2, 64), jnp.float32)
+        with pytest.raises(ValueError, match="cc_impl"):
+            model.init(jax.random.PRNGKey(0), x, train=False)
+
+
+class TestConv1dMXU:
+    """Toeplitz-matmul conv path: exact same params as nn.Conv, same
+    numerics (stride-1), so checkpoints swap freely train->serve."""
+
+    def _models(self):
+        kw = dict(
+            output_size=2, channels=3, layer_sizes=[4, 6],
+            kernel_sizes=[9, 15], dropout_rate=0.0, batch_norm=True,
+            cc_norm=True,
+        )
+        return (CCCNN(conv_impl="conv", **kw), CCCNN(conv_impl="mxu", **kw))
+
+    def test_param_tree_identical(self):
+        m_conv, m_mxu = self._models()
+        x = jnp.zeros((2, 3, 64), jnp.float32)
+        v1 = m_conv.init(jax.random.PRNGKey(0), x, train=False)
+        v2 = m_mxu.init(jax.random.PRNGKey(0), x, train=False)
+        p1 = jax.tree_util.tree_map(lambda a: a.shape, v1["params"])
+        p2 = jax.tree_util.tree_map(lambda a: a.shape, v2["params"])
+        assert p1 == p2
+
+    def test_outputs_match_conv(self):
+        m_conv, m_mxu = self._models()
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(0, 1, (4, 3, 64)).astype(np.float32))
+        v = m_conv.init(jax.random.PRNGKey(0), x, train=False)
+        out_conv = m_conv.apply(v, x, train=False)
+        out_mxu = m_mxu.apply(v, x, train=False)  # same checkpoint
+        np.testing.assert_allclose(
+            np.asarray(out_conv), np.asarray(out_mxu), atol=1e-4
+        )
+
+    def test_stride_rejected(self):
+        m = CCCNN(output_size=2, channels=2, layer_sizes=[4],
+                  kernel_sizes=5, strides=2, conv_impl="mxu")
+        x = jnp.zeros((2, 2, 64), jnp.float32)
+        with pytest.raises(ValueError, match="stride"):
+            m.init(jax.random.PRNGKey(0), x, train=False)
+
+
 class TestBfloat16:
     def test_bf16_compute_forward(self):
         """bfloat16 compute dtype (MXU-targeted) with f32 params/outputs."""
