@@ -152,9 +152,10 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
         coupled_off_gate=False,
     )
 
+    log(f"[{time.strftime('%H:%M:%S')}] building detector C={c}")
     path = "pallas"
     try:
-        _, _, state, run = make_pallas_detector(cfg, emit_rel=False)
+        static, params_d, state, run = make_pallas_detector(cfg, emit_rel=False)
     except Exception as e:  # pragma: no cover - kernel toolchain fallback
         log(f"pallas kernel unavailable ({type(e).__name__}: {e}); "
             "falling back to XLA scan")
@@ -170,10 +171,18 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
             st, (on, d, _) = detect_offline(static, params_d, st, xd)
             return st, (on, d, None)
 
+    from onset_fingerprinting_tpu.detect.amplitude import warmup_minmax
     from onset_fingerprinting_tpu.ops.windows import top_hit_blocks
 
+    log(f"[{time.strftime('%H:%M:%S')}] building fingerprinter")
     fp_params, fingerprint = make_fingerprinter(n_streams, cfg.block_size)
+    log(f"[{time.strftime('%H:%M:%S')}] synthesizing audio on device")
     xd = make_audio(t, c)  # synthesized on device
+    log(f"[{time.strftime('%H:%M:%S')}] warming detector state")
+    # warm the adaptive min/max tracker on the pre-burst lead-in, like the
+    # reference's offline driver (detection.py:70) — cold thresholds fire
+    # spuriously on ~15% of channels in the first blocks
+    state = warmup_minmax(static, params_d, state, xd[: 38 * 128])
 
     @jax.jit
     def correctness(on):

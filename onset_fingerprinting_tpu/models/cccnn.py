@@ -240,10 +240,18 @@ class CCCNN(nn.Module):
 
         # self cross-correlation of every feature map, summed over maps —
         # one batched FFT/DFT instead of a B*C*K-group conv
-        # (model.py:527-533).  CC runs in f32 regardless of compute dtype.
+        # (model.py:527-533).  CC accumulates in f32 regardless of compute
+        # dtype; with bf16 features the DFT matmuls run at DEFAULT
+        # precision (one MXU pass — the features carry bf16 error already,
+        # HIGHEST would cost ~6x for nothing), f32 features get HIGHEST.
         feats = feats.astype(jnp.float32)
         if self.cc_impl == "dft":
-            cc = batch_self_correlate_dft(feats).sum(axis=2)
+            prec = (
+                jax.lax.Precision.DEFAULT
+                if self.dtype == jnp.bfloat16
+                else None
+            )
+            cc = batch_self_correlate_dft(feats, precision=prec).sum(axis=2)
         else:
             cc = batch_full_correlate(feats, feats).sum(axis=2)  # [B,C,2V-1]
         if self.cc_norm:

@@ -83,7 +83,7 @@ def _dft_matrices(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return dft_re, dft_im, inv
 
 
-def batch_self_correlate_dft(a: jnp.ndarray) -> jnp.ndarray:
+def batch_self_correlate_dft(a: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Self-correlation ``batch_full_correlate(a, a)`` as two plain matmuls.
 
     XLA's TPU FFT is slow for huge batches of short signals (measured
@@ -91,9 +91,12 @@ def batch_self_correlate_dft(a: jnp.ndarray) -> jnp.ndarray:
     a DFT is just a matmul, which is exactly what the MXU is for.  The
     power spectrum of a real signal is real and even, so the inverse
     transform is one cosine matmul.  f32-exact to ~1e-4 abs like the FFT
-    path — which requires HIGHEST matmul precision: the TPU default is a
-    single bf16 pass (~4e-3 relative), and the 3-pass cost is negligible
-    at these tiny matmul shapes.
+    path — which requires HIGHEST matmul precision (the default,
+    ``precision=None``): the TPU default precision is a single bf16 pass
+    (~4e-3 relative).  HIGHEST costs ~6 bf16 passes; at fleet-serving
+    batch (655k signals) that is ~27 ms vs ~5 ms, so throughput callers
+    whose features are bf16 anyway (CCCNN ``dtype=bfloat16``) pass
+    ``precision=jax.lax.Precision.DEFAULT`` explicitly.
     """
     n = a.shape[-1]
     dft_re, dft_im, inv = _dft_matrices(n)
@@ -101,7 +104,7 @@ def batch_self_correlate_dft(a: jnp.ndarray) -> jnp.ndarray:
     pad = jnp.concatenate(
         [a, jnp.zeros((*a.shape[:-1], L - n), a.dtype)], axis=-1
     )
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGHEST if precision is None else precision
     re = jnp.matmul(pad, jnp.asarray(dft_re), precision=hi)
     im = jnp.matmul(pad, jnp.asarray(dft_im), precision=hi)
     power = re * re + im * im
