@@ -15,8 +15,9 @@ Diagnostics (per-stage breakdown, dispersion, optional width sweep) go to
 stderr.
 
 Env knobs:
-    OFPTPU_BENCH_STREAMS  number of 4-ch streams (default 2048 → C=8192)
-    OFPTPU_BENCH_SWEEP    "1" → also sweep C=1024..8192 (stderr table)
+    OFPTPU_BENCH_STREAMS  number of 4-ch streams (default 8192 → C=32768)
+    OFPTPU_BENCH_CHUNKS   carried-state time chunks per second (default 3)
+    OFPTPU_BENCH_SWEEP    "1" → also sweep C=1024..16384 (stderr table)
     OFPTPU_COMPILE_CACHE  persistent compile cache dir (default .jax_cache)
 """
 
@@ -67,7 +68,8 @@ def make_audio(t: int, c: int, seed: int = 0):
     return x + profile[:, None]
 
 
-def make_fingerprinter(n_streams: int, block_size: int):
+def make_fingerprinter(n_streams: int, block_size: int,
+                       max_hits: int = MAX_HITS):
     """Jitted detect-output → coordinates stage.
 
     Converts the detector's dense per-block events into per-stream onset
@@ -113,12 +115,12 @@ def make_fingerprinter(n_streams: int, block_size: int):
         # shift — a scalar gather measured ~15x slower than the entire
         # detection pass (891 ms/s-audio).  gather_block_windows uses the
         # DMA-friendly slab+mask formulation (ops/windows.py).
-        starts, valid = top_hit_blocks(on, block_size, n_streams, MAX_HITS)
+        starts, valid = top_hit_blocks(on, block_size, n_streams, max_hits)
         windows = gather_block_windows(x, starts, cps, WINDOW, pre=PRE)
         preds = model.apply(
-            params, windows.reshape(n_streams * MAX_HITS, cps, WINDOW)
+            params, windows.reshape(n_streams * max_hits, cps, WINDOW)
         )
-        preds = preds.reshape(n_streams, MAX_HITS, -1)
+        preds = preds.reshape(n_streams, max_hits, -1)
         preds = jnp.where(valid[..., None], preds, 0.0)
         return preds, jnp.sum(valid)
 
@@ -175,7 +177,13 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     from onset_fingerprinting_tpu.ops.windows import top_hit_blocks
 
     log(f"[{time.strftime('%H:%M:%S')}] building fingerprinter")
-    fp_params, fingerprint = make_fingerprinter(n_streams, cfg.block_size)
+    # per-chunk hit capacity scales with chunk duration (same 1.6x headroom
+    # over the injected 10 hits/s) — constant capacity would make chunked
+    # mode fingerprint `chunks`x more padded windows per second
+    max_hits = max(-(-MAX_HITS // chunks), 4)
+    fp_params, fingerprint = make_fingerprinter(
+        n_streams, cfg.block_size, max_hits
+    )
     log(f"[{time.strftime('%H:%M:%S')}] synthesizing audio on device")
     xd = make_audio(t, c)  # synthesized on device
     log(f"[{time.strftime('%H:%M:%S')}] warming detector state")
@@ -195,7 +203,7 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
         period, first, tol = 9600, 5000, 512
         n_exp = (t - 5701) // period + 1  # bursts fitting before t-5700
         starts, valid = top_hit_blocks(
-            on, cfg.block_size, n_streams, MAX_HITS
+            on, cfg.block_size, n_streams, max_hits
         )
         rel = jnp.mod(starts - first, period)
         dist = jnp.minimum(rel, period - rel)
@@ -313,11 +321,15 @@ def main() -> int:
     dev = jax.devices()[0]
     log(f"device: {dev}; compile cache: {cache_dir}")
 
-    # 2048 4-ch streams = 8192 detector channels: two 32-lane-tile kernel
-    # calls (the former C=8192 VMEM cliff is tile-chunked away); C=16384
-    # exceeds HBM for 1 s of f32 audio + tiling.  Width sweep (v5e, this
-    # kernel): C=2048 → 7788x, C=4096 → 15212x, C=8192 → 23547x detect-only.
-    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "2048"))
+    # Headline operating point: 8192 4-ch streams = C=32768 detector
+    # channels, streamed as 3 carried-state time chunks per second (bounds
+    # peak HBM at 1/3 s; one host sync per second of audio).  Round-3 sweep
+    # (v5e, combined detect→fingerprint, correctness-gated): C=8192
+    # (chunks=1) → 19476x, C=16384 (chunks=2) → 22444x, C=32768 (chunks=3)
+    # → 23080x; C=65536 exhausts HBM at audio synthesis.  Gains flatten
+    # past C=32768 (floor amortization ~done), so that is the default.
+    n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "8192"))
+    chunks = int(os.environ.get("OFPTPU_BENCH_CHUNKS", "3"))
 
     if os.environ.get("OFPTPU_BENCH_SWEEP") == "1":
         # C=16384 (4096 streams) exceeds HBM as ONE 1-second dispatch;
@@ -334,7 +346,17 @@ def main() -> int:
                 f"→ {rt:.0f}x realtime"
             )
 
-    r = bench_width(n_streams)
+    try:
+        r = bench_width(n_streams, chunks=chunks)
+    except Exception as e:  # pragma: no cover - HBM/tunnel safety net
+        # never leave the driver without an artifact: fall back to the
+        # conservative round-2 operating point (C=8192, one dispatch)
+        log(
+            f"bench at C={n_streams * CHANNELS_PER_STREAM} failed "
+            f"({type(e).__name__}: {e}); falling back to C=8192 chunks=1"
+        )
+        n_streams, chunks = 2048, 1
+        r = bench_width(n_streams, chunks=chunks)
     rt_factor = n_streams / (r["total_ms_median"] / 1e3)
     rt_detect = n_streams / (r["detect_ms"] / 1e3)
     log(
