@@ -18,6 +18,8 @@ Env knobs:
     OFPTPU_BENCH_STREAMS  number of 4-ch streams (default 8192 → C=32768)
     OFPTPU_BENCH_CHUNKS   carried-state time chunks per second (default 3)
     OFPTPU_BENCH_SWEEP    "1" → also sweep C=1024..16384 (stderr table)
+    OFPTPU_BENCH_COMPACT  "0" → padded per-stream hit slots instead of the
+                          globally compacted hit list (default "1")
     OFPTPU_COMPILE_CACHE  persistent compile cache dir (default .jax_cache)
 """
 
@@ -69,21 +71,31 @@ def make_audio(t: int, c: int, seed: int = 0):
 
 
 def make_fingerprinter(n_streams: int, block_size: int,
-                       max_hits: int = MAX_HITS):
+                       max_hits: int = MAX_HITS,
+                       global_capacity: int | None = None):
     """Jitted detect-output → coordinates stage.
 
-    Converts the detector's dense per-block events into per-stream onset
-    sample indices (fixed MAX_HITS capacity), gathers [4, WINDOW] onset
-    windows from the raw audio, and runs the flagship CCCNN over all of
-    them in one batch (bf16 convs on the MXU, DFT self-CC, dense head) —
-    the reference's detect→fingerprint serving path (model.py:443-629).
+    Converts the detector's dense per-block events into onset sample
+    indices, gathers [4, WINDOW] onset windows from the raw audio, and
+    runs the flagship CCCNN over all of them in one batch (bf16 convs on
+    the MXU, DFT self-CC, dense head) — the reference's
+    detect→fingerprint serving path (model.py:443-629).
+
+    With ``global_capacity`` set, the hit list is COMPACTED across all
+    streams (ops/windows.py::compact_hits) so gather DMA and model batch
+    scale with actual hit count instead of the per-stream worst case
+    ``n_streams * max_hits`` — measured 1.5x less fingerprint work at the
+    headline operating point (49152 padded slots → 32768 for 24576 real
+    hits/chunk).  ``None`` keeps the padded per-stream formulation.
     """
     import jax
     import jax.numpy as jnp
 
     from onset_fingerprinting_tpu.models.cccnn import CCCNN
     from onset_fingerprinting_tpu.ops.windows import (
+        compact_hit_list,
         gather_block_windows,
+        gather_hit_windows,
         top_hit_blocks,
     )
 
@@ -113,8 +125,21 @@ def make_fingerprinter(n_streams: int, block_size: int,
         # shift the reference's extractors train with as augmentation,
         # data.py:55-120).  Exact-sample starts would need a per-lane row
         # shift — a scalar gather measured ~15x slower than the entire
-        # detection pass (891 ms/s-audio).  gather_block_windows uses the
-        # DMA-friendly slab+mask formulation (ops/windows.py).
+        # detection pass (891 ms/s-audio).  gather uses the DMA-friendly
+        # slab formulation (ops/windows.py).
+        if global_capacity is not None:
+            st_pad, v_pad = top_hit_blocks(
+                on, block_size, n_streams, max_hits
+            )
+            starts, sids, valid, dropped = compact_hit_list(
+                st_pad, v_pad, global_capacity
+            )
+            windows = gather_hit_windows(
+                x, starts, sids, cps, WINDOW, pre=PRE
+            )  # [G, cps, W]
+            preds = model.apply(params, windows)
+            preds = jnp.where(valid[:, None], preds, 0.0)
+            return preds, jnp.sum(valid), dropped
         starts, valid = top_hit_blocks(on, block_size, n_streams, max_hits)
         windows = gather_block_windows(x, starts, cps, WINDOW, pre=PRE)
         preds = model.apply(
@@ -122,7 +147,7 @@ def make_fingerprinter(n_streams: int, block_size: int,
         )
         preds = preds.reshape(n_streams, max_hits, -1)
         preds = jnp.where(valid[..., None], preds, 0.0)
-        return preds, jnp.sum(valid)
+        return preds, jnp.sum(valid), jnp.int32(0)
 
     return params, fingerprint
 
@@ -181,9 +206,21 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     # over the injected 10 hits/s) — constant capacity would make chunked
     # mode fingerprint `chunks`x more padded windows per second
     max_hits = max(-(-MAX_HITS // chunks), 4)
+    # global compacted hit budget: 1.33x headroom over the injected rate,
+    # rounded up to a lane multiple (overflow is counted and failed on)
+    t_chunk = SR // chunks
+    exp_per_stream = (t_chunk - 5701) // 9600 + 1
+    global_capacity = -(-(n_streams * exp_per_stream * 4 // 3) // 128) * 128
+    if os.environ.get("OFPTPU_BENCH_COMPACT", "1") != "1":
+        global_capacity = None
     fp_params, fingerprint = make_fingerprinter(
-        n_streams, cfg.block_size, max_hits
+        n_streams, cfg.block_size, max_hits, global_capacity
     )
+    if global_capacity is not None:
+        log(
+            f"compacted hit list: global capacity {global_capacity} vs "
+            f"{n_streams * max_hits} padded per-stream slots"
+        )
     log(f"[{time.strftime('%H:%M:%S')}] synthesizing audio on device")
     xd = make_audio(t, c)  # synthesized on device
     log(f"[{time.strftime('%H:%M:%S')}] warming detector state")
@@ -224,9 +261,15 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     _ = int(jnp.sum(on)) + int(jnp.sum(d))
     t_detect_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    preds, n_hits = fingerprint(fp_params, xd, on, d)
+    preds, n_hits, n_dropped = fingerprint(fp_params, xd, on, d)
     _ = float(jnp.sum(preds))
     t_fp_compile = time.perf_counter() - t0
+    if int(n_dropped) > 0:
+        # the compacted budget must never truncate the workload silently
+        raise RuntimeError(
+            f"compacted hit list dropped {int(n_dropped)} hits "
+            f"(capacity {global_capacity})"
+        )
     n_tp, n_spur, n_matched = (int(v) for v in correctness(on))
     n_expected = n_streams * ((t - 5701) // 9600 + 1)
     precision = n_tp / max(n_tp + n_spur, 1)
@@ -253,7 +296,7 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
         _ = int(jnp.sum(on)) + int(jnp.sum(d))
         t1 = time.perf_counter()
         for _j in range(chunks):
-            preds, n_hits = fingerprint(fp_params, xd, on, d)
+            preds, n_hits, _dropped = fingerprint(fp_params, xd, on, d)
         _ = float(jnp.sum(preds))
         t2 = time.perf_counter()
         det_times.append(t1 - t0)
@@ -265,7 +308,7 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     @jax.jit
     def pipeline(state, xd):
         _, (on, d, _) = run(state, xd)
-        preds, n_hits = fingerprint(fp_params, xd, on, d)
+        preds, n_hits, _dropped = fingerprint(fp_params, xd, on, d)
         return jnp.sum(preds), n_hits
 
     tot_times = []

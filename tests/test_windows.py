@@ -4,7 +4,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from onset_fingerprinting_tpu.ops.windows import (
+    compact_hit_list,
+    compact_hits,
     gather_block_windows,
+    gather_hit_windows,
     top_hit_blocks,
 )
 
@@ -97,3 +100,139 @@ def test_top_hit_blocks():
     ]
     assert starts[0, :2].tolist() == [3 * 128, 10 * 128]
     assert starts[2].tolist() == [5 * 128, 10 * 128, 15 * 128, 20 * 128]
+
+
+def test_compact_hits_matches_dense_events():
+    """Global compaction finds every hit, time-ordered, stream-tagged."""
+    rng = np.random.default_rng(7)
+    nb, s, cps = 60, 8, 2
+    on = rng.random((nb, s * cps)) < 0.04
+    hit = on.reshape(nb, s, cps).any(-1)
+    expected = [
+        (b, st) for b in range(nb) for st in range(s) if hit[b, st]
+    ]
+    g = len(expected) + 3  # slack capacity
+    starts, sids, valid, dropped = compact_hits(jnp.asarray(on), 128, s, g)
+    starts, sids, valid = map(np.asarray, (starts, sids, valid))
+    assert int(dropped) == 0
+    assert valid.sum() == len(expected)
+    got = [
+        (starts[i] // 128, sids[i]) for i in range(g) if valid[i]
+    ]
+    assert got == expected  # global time order, stream-tagged
+    # invalid tail slots are zeroed
+    assert starts[valid.sum():].tolist() == [0] * 3
+
+
+def test_compact_hits_overflow_counted():
+    """Hits beyond capacity are dropped and counted — never silently."""
+    nb, s = 20, 4
+    on = np.ones((nb, s), bool)  # cps=1: 80 hits
+    starts, sids, valid, dropped = compact_hits(jnp.asarray(on), 64, s, 10)
+    assert int(dropped) == 70
+    assert int(np.asarray(valid).sum()) == 10
+    # first 10 in time-major order: blocks 0,0,0,0,1,1,1,1,2,2
+    assert np.asarray(starts).tolist() == [0] * 4 + [64] * 4 + [128] * 2
+
+
+def test_compact_hit_list_matches_padded_slots():
+    """Two-level compaction keeps exactly the valid padded slots
+    (stream-major order) and counts overflow."""
+    rng = np.random.default_rng(17)
+    s, k = 16, 5
+    starts = (rng.integers(0, 100, (s, k)) * 128).astype(np.int32)
+    valid = rng.random((s, k)) < 0.3
+    expected = [
+        (si, starts[si, j])
+        for si in range(s)
+        for j in range(k)
+        if valid[si, j]
+    ]
+    g = len(expected) + 2
+    st, sid, v, dropped = compact_hit_list(
+        jnp.asarray(starts), jnp.asarray(valid), g
+    )
+    st, sid, v = map(np.asarray, (st, sid, v))
+    assert int(dropped) == 0
+    assert v.sum() == len(expected)
+    assert [(sid[i], st[i]) for i in range(v.sum())] == expected
+    # overflow: capacity below the hit count drops and counts
+    g2 = len(expected) - 3
+    st2, sid2, v2, dropped2 = compact_hit_list(
+        jnp.asarray(starts), jnp.asarray(valid), g2
+    )
+    assert int(dropped2) == 3
+    assert int(np.asarray(v2).sum()) == g2
+    assert [
+        (int(np.asarray(sid2)[i]), int(np.asarray(st2)[i]))
+        for i in range(g2)
+    ] == expected[:g2]
+
+
+def _hit_list_reference(x, starts, sids, cps, window, pre):
+    t = x.shape[0]
+    out = np.zeros((len(starts), cps, window), np.float32)
+    for i, (st, s) in enumerate(zip(starts, sids)):
+        r = min(max(st - pre, 0), t - window) // 8 * 8
+        out[i] = x[r : r + window, s * cps : (s + 1) * cps].T
+    return out
+
+
+def test_gather_hit_windows_wide_and_narrow():
+    """Compacted gather == per-hit numpy reference on all three backends."""
+    rng = np.random.default_rng(11)
+    t, window, pre = 4096, 256, 64
+    for s, cps in ((64, 4), (3, 4)):  # wide (C=256) and narrow (C=12)
+        x = rng.normal(size=(t, s * cps)).astype(np.float32)
+        n = 17
+        starts = (rng.integers(0, t // 128, n) * 128).astype(np.int32)
+        sids = rng.integers(0, s, n).astype(np.int32)
+        ref = _hit_list_reference(x, starts, sids, cps, window, pre)
+        got = np.asarray(
+            gather_hit_windows(
+                jnp.asarray(x), jnp.asarray(starts), jnp.asarray(sids),
+                cps, window, pre,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+        if s * cps % 128 == 0:
+            got_p = np.asarray(
+                gather_hit_windows(
+                    jnp.asarray(x), jnp.asarray(starts), jnp.asarray(sids),
+                    cps, window, pre, "pallas", True,
+                )
+            )
+            np.testing.assert_array_equal(got_p, ref)
+
+
+def test_compacted_pipeline_matches_padded():
+    """compact_hits + gather_hit_windows == top_hit_blocks +
+    gather_block_windows on the valid slots (same windows, 3x fewer)."""
+    rng = np.random.default_rng(13)
+    t, s, cps, w, pre = 8192, 32, 4, 256, 64
+    nb = t // 128
+    x = rng.normal(size=(t, s * cps)).astype(np.float32)
+    on = rng.random((nb, s * cps)) < 0.01
+    on[-2:] = False  # keep windows in range
+    k = 8
+    st_p, v_p = top_hit_blocks(jnp.asarray(on), 128, s, k)
+    win_p = gather_block_windows(jnp.asarray(x), st_p, cps, w, pre)
+    st_g, sid_g, v_g, dropped = compact_hits(jnp.asarray(on), 128, s, 128)
+    win_g = gather_hit_windows(
+        jnp.asarray(x), st_g, sid_g, cps, w, pre
+    )
+    assert int(dropped) == 0
+    st_p, v_p, win_p = map(np.asarray, (st_p, v_p, win_p))
+    st_g, sid_g, v_g, win_g = map(np.asarray, (st_g, sid_g, v_g, win_g))
+    padded = {
+        (s_i, st_p[s_i, j]): win_p[s_i, j]
+        for s_i in range(s)
+        for j in range(k)
+        if v_p[s_i, j]
+    }
+    n_valid = v_g.sum()
+    assert n_valid == len(padded)
+    for i in range(n_valid):
+        np.testing.assert_array_equal(
+            win_g[i], padded[(sid_g[i], st_g[i])]
+        )
