@@ -335,3 +335,32 @@ class TestDetectFingerprintSharded:
         np.testing.assert_array_equal(np.asarray(valid_w), valid)
         np.testing.assert_array_equal(np.asarray(starts_w), starts)
         np.testing.assert_allclose(np.asarray(preds_w), preds, atol=1e-6)
+
+        # compacted gather+model route: identical padded output contract
+        preds_c, starts_c, valid_c = detect_fingerprint_sharded(
+            static, params, state, jnp.asarray(streams), mesh, model, mp,
+            window=W, pre=32, capacity=K,
+            compact_capacity=K * S,  # ample: no drops
+        )
+        np.testing.assert_array_equal(np.asarray(valid_c), valid)
+        np.testing.assert_array_equal(np.asarray(starts_c), starts)
+        np.testing.assert_allclose(np.asarray(preds_c), preds, atol=1e-5)
+
+        # under-budget compaction: overflow slots masked invalid, not
+        # silently zero-predicted as valid
+        preds_u, _, valid_u = detect_fingerprint_sharded(
+            static, params, state, jnp.asarray(streams), mesh, model, mp,
+            window=W, pre=32, capacity=K, compact_capacity=1,
+        )
+        valid_u = np.asarray(valid_u)
+        # per device at most 1 hit kept
+        n_dev = mesh.devices.size
+        per_dev = S // n_dev
+        for dd in range(n_dev):
+            sl = valid_u[dd * per_dev : (dd + 1) * per_dev]
+            assert sl.sum() <= 1
+        kept = valid_u & valid
+        np.testing.assert_allclose(
+            np.asarray(preds_u)[kept], preds[kept], atol=1e-5
+        )
+        assert not np.asarray(preds_u)[~valid_u].any()
