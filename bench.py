@@ -134,14 +134,21 @@ def make_fingerprinter(n_streams: int, block_size: int,
             starts, sids, valid, dropped = compact_hit_list(
                 st_pad, v_pad, global_capacity
             )
+            # DEFAULT precision (one MXU pass) in the gather's lane-select
+            # matmul: the model casts windows to bf16 anyway, so the
+            # HIGHEST-precision (3-pass) bit-exactness buys nothing here
             windows = gather_hit_windows(
-                x, starts, sids, cps, WINDOW, pre=PRE
+                x, starts, sids, cps, WINDOW, pre=PRE,
+                precision=jax.lax.Precision.DEFAULT,
             )  # [G, cps, W]
             preds = model.apply(params, windows)
             preds = jnp.where(valid[:, None], preds, 0.0)
             return preds, jnp.sum(valid), dropped
         starts, valid = top_hit_blocks(on, block_size, n_streams, max_hits)
-        windows = gather_block_windows(x, starts, cps, WINDOW, pre=PRE)
+        windows = gather_block_windows(
+            x, starts, cps, WINDOW, pre=PRE,
+            precision=jax.lax.Precision.DEFAULT,
+        )
         preds = model.apply(
             params, windows.reshape(n_streams * max_hits, cps, WINDOW)
         )

@@ -35,7 +35,7 @@ LANE = 128
 _SUB = 8  # sublane tile: kernel output rows padded cps -> 8
 
 
-def _gather_kernel(window: int, n: int, *refs):
+def _gather_kernel(window: int, n: int, precision, *refs):
     """Per-hit slab DMA + lane-group selection.
 
     Grid ``(n,)``; hit ``i`` copies ``x[start[i] : start[i]+W,
@@ -68,13 +68,14 @@ def _gather_kernel(window: int, n: int, *refs):
 
     copy(i % 2, i).wait()
     # HIGHEST precision (3x bf16 passes = the full f32 mantissa) makes the
-    # one-hot selection bit-exact; the default single bf16 pass quantizes
+    # one-hot selection bit-exact; DEFAULT is one bf16 pass — free when the
+    # consumer casts to bf16 anyway (the serving model)
     out_ref[0] = jax.lax.dot_general(
         sel_ref[0],
         slab[i % 2],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
@@ -85,6 +86,7 @@ def _gather_pallas(
     cps: int,
     window: int,
     interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """[N, 8, W] windows via the DMA gather kernel (rows cps..7 zero).
 
@@ -130,14 +132,14 @@ def _gather_pallas(
         ],
     )
     return pl.pallas_call(
-        partial(_gather_kernel, window, n),
+        partial(_gather_kernel, window, n, precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, _SUB, window), jnp.float32),
         interpret=interpret,
     )(rows8, cols, sel, x)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def gather_block_windows(
     x: jnp.ndarray,
     block_starts: jnp.ndarray,
@@ -146,6 +148,7 @@ def gather_block_windows(
     pre: int = 0,
     backend: str = "auto",
     interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Extract per-stream onset windows at block-aligned starts.
 
@@ -158,6 +161,9 @@ def gather_block_windows(
     :param backend: 'pallas' (DMA gather kernel — fastest on TPU, measured
         292 → ~20 ms for 32k hits over C=8192), 'xla' (slab
         dynamic-slice + mask reduce), or 'auto' (pallas on TPU)
+    :param precision: MXU precision of the lane-selection matmul.  HIGHEST
+        (default) reproduces f32 bit-exactly; DEFAULT is one bf16 pass —
+        use it when the consumer casts to bf16 anyway (the serving model)
     :returns: ``[S, K, cps, W]`` float32 windows.  Row starts are floored
         to 8-sample (sublane) alignment: ``windows[s, k, c, w] ==
         x[((starts[s, k] - pre) // 8) * 8 + w, s*cps + c]`` — block-aligned
@@ -182,7 +188,7 @@ def gather_block_windows(
     if backend == "pallas" and wide:
         stream_ids = jnp.repeat(jnp.arange(n_streams, dtype=jnp.int32), k)
         out = _gather_pallas(
-            x, row_start, stream_ids, cps, window, interpret
+            x, row_start, stream_ids, cps, window, interpret, precision
         )
         return out[:, :cps].reshape(n_streams, k, cps, window)
     if wide:
@@ -333,7 +339,7 @@ def compact_hit_list(
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def gather_hit_windows(
     x: jnp.ndarray,
     starts: jnp.ndarray,
@@ -343,6 +349,7 @@ def gather_hit_windows(
     pre: int = 0,
     backend: str = "auto",
     interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Extract windows for a FLAT per-hit ``(stream, start)`` list.
 
@@ -357,6 +364,8 @@ def gather_hit_windows(
     :param x: ``[T, S*cps]`` audio, channel-interleaved (stream-major)
     :param starts: ``[N]`` int32 start samples (block-aligned)
     :param stream_ids: ``[N]`` int32 stream of each hit
+    :param precision: MXU precision of the lane-selection matmul (see
+        :func:`gather_block_windows`)
     :returns: ``[N, cps, W]`` float32 windows.
     """
     t, c = x.shape
@@ -369,7 +378,7 @@ def gather_hit_windows(
         )
     if backend == "pallas" and wide:
         out = _gather_pallas(
-            x, row_start, stream_ids, cps, window, interpret
+            x, row_start, stream_ids, cps, window, interpret, precision
         )
         return out[:, :cps]
     if wide:

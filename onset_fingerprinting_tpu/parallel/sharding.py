@@ -409,6 +409,7 @@ def make_detect_fingerprint_sharded(
     layout: str = "stream",
     channels_per_stream: int | None = None,
     compact_capacity: int | None = None,
+    gather_precision=None,
 ):
     """Build the reusable sharded serving pipeline: fused detection →
     fixed-capacity hit lists → DMA window gather → fingerprint model, all
@@ -437,6 +438,10 @@ def make_detect_fingerprint_sharded(
         channel-interleaved, stream-major, sharded over columns
         (zero-copy — the serving-speed layout).
     :param model: flax module mapping ``[B, C, window] → [B, out]``
+    :param gather_precision: MXU precision of the window gather's
+        lane-select matmul (default HIGHEST = bit-exact f32).  Pass
+        ``jax.lax.Precision.DEFAULT`` (one bf16 pass) when ``model``
+        computes in bf16 anyway — the serving configuration.
     """
     from jax import shard_map
 
@@ -484,6 +489,11 @@ def make_detect_fingerprint_sharded(
             return on, deltas
 
     gather_backend = "xla" if interpret else "auto"
+    gather_prec = (
+        jax.lax.Precision.HIGHEST
+        if gather_precision is None
+        else gather_precision
+    )
 
     def body(wide, mp):  # [T, per_dev*c] local wide channels
         on, deltas = detect_wide(wide)
@@ -503,7 +513,8 @@ def make_detect_fingerprint_sharded(
                 ok, starts.reshape(-1)[idx0], 0
             ).astype(jnp.int32)
             windows = gather_hit_windows(
-                wide, sts, sids, c, window, pre, gather_backend
+                wide, sts, sids, c, window, pre, gather_backend,
+                False, gather_prec,
             )  # [G, c, W]
             p = model.apply(mp, windows)
             p = jnp.where(ok[:, None], p, 0.0)
@@ -519,7 +530,8 @@ def make_detect_fingerprint_sharded(
             valid = valid & kept.reshape(per_dev, capacity)
             return preds, starts, valid
         windows = gather_block_windows(
-            wide, starts, c, window, pre, gather_backend
+            wide, starts, c, window, pre, gather_backend,
+            False, gather_prec,
         )
         preds = model.apply(
             mp, windows.reshape(per_dev * capacity, c, window)

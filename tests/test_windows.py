@@ -236,3 +236,40 @@ def test_compacted_pipeline_matches_padded():
         np.testing.assert_array_equal(
             win_g[i], padded[(sid_g[i], st_g[i])]
         )
+
+
+def test_precision_knob_accepted_both_gathers():
+    """precision=DEFAULT plumbs through both gather entry points.
+
+    On CPU f32 matmuls are exact at any precision, so values must match
+    the HIGHEST default bit-for-bit; on TPU, DEFAULT trades the 3-pass
+    bit-exact lane select for one bf16 MXU pass (serving-model path)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    t, s, cps, w, k = 2048, 64, 4, 256, 3
+    x = rng.normal(size=(t, s * cps)).astype(np.float32)
+    starts = rng.integers(0, t, (s, k)).astype(np.int32)
+    hi = np.asarray(
+        gather_block_windows(jnp.asarray(x), jnp.asarray(starts), cps, w,
+                             pre=64)
+    )
+    lo = np.asarray(
+        gather_block_windows(
+            jnp.asarray(x), jnp.asarray(starts), cps, w, 64, "pallas",
+            True, jax.lax.Precision.DEFAULT,
+        )
+    )
+    np.testing.assert_array_equal(hi, lo)
+    flat_starts = jnp.asarray(starts[:, 0])
+    sids = jnp.arange(s, dtype=jnp.int32)
+    hi_f = np.asarray(
+        gather_hit_windows(jnp.asarray(x), flat_starts, sids, cps, w, 64)
+    )
+    lo_f = np.asarray(
+        gather_hit_windows(
+            jnp.asarray(x), flat_starts, sids, cps, w, 64, "pallas",
+            True, jax.lax.Precision.DEFAULT,
+        )
+    )
+    np.testing.assert_array_equal(hi_f, lo_f)
