@@ -1,0 +1,247 @@
+"""Device-only anatomy of the serving fingerprint stage.
+
+Measures each component of the detect→fingerprint pipeline's fingerprint
+half at the headline per-chunk operating point (8192 4-ch streams,
+1/3 s chunks, 32768-slot compacted global hit list) with floor-amortized
+timing: k dispatches queue asynchronously and one scalar pull syncs, so
+the ~30 ms tunnel dispatch floor is paid once per k calls instead of
+distorting every sample (see bench.py for the full pipeline and the
+reference's combined correctness+speed harness, c/test.py:24-46).
+
+Run: python examples/fingerprint_anatomy.py  (TPU; ~2 min with warm cache)
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onset_fingerprinting_tpu.core.compile_cache import (
+    enable_compilation_cache,
+)
+
+SR = 96000
+CHUNKS = 3
+T = SR // CHUNKS
+N_STREAMS = 8192
+CPS = 4
+C = N_STREAMS * CPS
+WINDOW = 256
+PRE = 128
+G = 32768  # compacted global hit budget per chunk (bench.py formula)
+MAX_HITS = 6  # per-stream capacity per chunk
+
+
+def timed(fn, *args, k: int = 10, warmup: int = 2):
+    """Median per-call device ms over k async dispatches + one sync."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda a: a.block_until_ready(), out
+    )
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        # sync via scalar pull (block_until_ready under-reports through
+        # the axon tunnel)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        reps.append((time.perf_counter() - t0) / k * 1e3)
+    return float(np.median(reps))
+
+
+def main():
+    enable_compilation_cache()
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    from onset_fingerprinting_tpu.models.cccnn import CCCNN, _ConvStack
+    from onset_fingerprinting_tpu.ops.windows import (
+        _gather_pallas,
+        _gather_pallas_roll,
+        compact_hit_list,
+        gather_hit_windows,
+        top_hit_blocks,
+    )
+    from onset_fingerprinting_tpu.ops.xcorr import batch_self_correlate_dft
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (T, C), jnp.float32)
+    # synthetic dense events at the bench hit rate: 3 hits/stream/chunk
+    nb = T // 128
+    on_np = np.zeros((nb, C), bool)
+    for kk in range(3):
+        on_np[(5000 + 9600 * kk) // 128, :: CPS] = True
+    on = jnp.asarray(on_np)
+    starts_pad, valid_pad = jax.jit(
+        top_hit_blocks, static_argnums=(1, 2, 3)
+    )(on, 128, N_STREAMS, MAX_HITS)
+    starts, sids, valid, _ = compact_hit_list(starts_pad, valid_pad, G)
+    starts.block_until_ready()
+
+    # dispatch floor
+    noop = jax.jit(lambda v: v + 1.0)
+    float(noop(jnp.float32(0)))
+    floors = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(noop(jnp.float32(0)))
+        floors.append(time.perf_counter() - t0)
+    print(f"floor: {1e3 * float(np.median(floors)):.1f} ms", file=sys.stderr)
+
+    r = {}
+    r["top_hit_blocks"] = timed(
+        jax.jit(lambda o: top_hit_blocks(o, 128, N_STREAMS, MAX_HITS)), on
+    )
+    r["compact_hit_list"] = timed(
+        jax.jit(lambda s, v: compact_hit_list(s, v, G)),
+        starts_pad, valid_pad,
+    )
+
+    # candidate reformulations (exact-parity tested on CPU):
+    def top_hit_v2(o):
+        nb_ = o.shape[0]
+        hit = jnp.any(o.reshape(nb_, N_STREAMS, CPS), axis=-1)
+        rank = jnp.cumsum(hit.astype(jnp.int32), axis=0)
+        jj = jnp.arange(1, MAX_HITS + 1, dtype=jnp.int32)
+        m = hit[:, :, None] & (rank[:, :, None] == jj)
+        idx = jnp.arange(nb_, dtype=jnp.int32)[:, None, None]
+        blk = jnp.sum(m * idx, axis=0, dtype=jnp.int32)
+        return (blk * 128).astype(jnp.int32), jnp.any(m, axis=0)
+
+    def compact_v2(st, va):
+        s_, k_ = st.shape
+        flatv = va.reshape(-1)
+        rank = jnp.cumsum(flatv.astype(jnp.int32)) - 1
+        keep = flatv & (rank < G)
+        tgt = jnp.where(keep, rank, G)
+        sid_src = jnp.arange(s_ * k_, dtype=jnp.int32) // k_
+        o_st = jnp.zeros(G, jnp.int32).at[tgt].set(
+            st.reshape(-1), mode="drop"
+        )
+        o_si = jnp.zeros(G, jnp.int32).at[tgt].set(sid_src, mode="drop")
+        total = jnp.sum(flatv.astype(jnp.int32))
+        return o_st, o_si, jnp.arange(G) < total, jnp.maximum(total - G, 0)
+
+    r["top_hit_blocks_v2"] = timed(jax.jit(top_hit_v2), on)
+    r["compact_hit_list_v2"] = timed(
+        jax.jit(compact_v2), starts_pad, valid_pad
+    )
+
+    def g_high(xx, st, si):
+        return gather_hit_windows(
+            xx, st, si, CPS, WINDOW, PRE, "pallas", False,
+            jax.lax.Precision.HIGHEST,
+        )
+
+    def g_def(xx, st, si):
+        return gather_hit_windows(
+            xx, st, si, CPS, WINDOW, PRE, "pallas", False,
+            jax.lax.Precision.DEFAULT,
+        )
+
+    def g_roll_raw(xx, st, si):
+        rs = jnp.clip(st - PRE, 0, T - WINDOW) // 8 * 8
+        return _gather_pallas_roll(xx, rs, si, CPS, WINDOW)
+
+    def g_roll(xx, st, si):
+        return g_roll_raw(xx, st, si)[:, :, :CPS].transpose(0, 2, 1)
+
+    r["gather_matmul_HIGHEST"] = timed(jax.jit(g_high), x, starts, sids)
+    r["gather_matmul_DEFAULT"] = timed(jax.jit(g_def), x, starts, sids)
+    r["gather_roll_raw_NW8"] = timed(jax.jit(g_roll_raw), x, starts, sids)
+    r["gather_roll_+transpose"] = timed(jax.jit(g_roll), x, starts, sids)
+
+    # DMA ring-depth sweep: slots beyond 2 keep more copies in flight
+    # (bandwidth floor at this shape: 32768 x 132 KB = 4.3 GB / ~0.8 TB/s
+    # = ~5.3 ms)
+    rs = jnp.clip(starts - PRE, 0, T - WINDOW) // 8 * 8
+    for nb_ in (2, 4, 8, 16):
+        r[f"gather_nbuf{nb_}"] = timed(
+            jax.jit(
+                lambda xx, st, si, nb_=nb_: _gather_pallas(
+                    xx, st, si, CPS, WINDOW, False,
+                    jax.lax.Precision.DEFAULT, nb_,
+                )
+            ),
+            x, rs, sids,
+        )
+    # grouped steps: h hits per grid step (amortizes per-step fixed cost)
+    for h_ in (2, 4, 8):
+        r[f"gather_mh{h_}"] = timed(
+            jax.jit(
+                lambda xx, st, si, h_=h_: _gather_pallas(
+                    xx, st, si, CPS, WINDOW, False,
+                    jax.lax.Precision.DEFAULT, 8, h_,
+                )
+            ),
+            x, rs, sids,
+        )
+
+    model = CCCNN(
+        output_size=2, channels=CPS, layer_sizes=(5,) * 7,
+        kernel_sizes=(1, 33, 64, 15, 15, 15, 1), dropout_rate=0.0,
+        dtype=jnp.bfloat16, cc_impl="dft", cc_norm=True,
+    )
+    params = model.init(key, jnp.zeros((1, CPS, WINDOW), jnp.float32))
+    windows = jax.jit(g_def)(x, starts, sids)
+    windows.block_until_ready()
+    r["model_apply"] = timed(
+        jax.jit(lambda p, w: model.apply(p, w)), params, windows
+    )
+
+    # model decomposition: conv stack vs DFT self-CC vs head
+    stack = _ConvStack(
+        layer_sizes=(5,) * 7, kernel_sizes=(1, 33, 64, 15, 15, 15, 1),
+        strides=(1,) * 7, padding=1, dilation=1, batch_norm=False,
+        pool=False, activation="silu", dtype=jnp.bfloat16,
+    )
+    sp = {"params": params["params"]["_ConvStack_0"]}
+    flat = windows.reshape(G * CPS, WINDOW, 1)
+    r["model_conv_stack"] = timed(
+        jax.jit(lambda p, f: stack.apply(p, f)), sp, flat
+    )
+    # blocked-banded Toeplitz conv (Conv1dMXU.u_block): N = u_block*F
+    # lanes per matmul at (u_block+K-1)/K FLOP inflation — vs XLA conv's
+    # 5/128-lane utilization
+    for ub in (26, 51):
+        stack_mxu = stack.copy(conv_impl="mxu", conv_u_block=ub)
+        r[f"model_conv_stack_mxu{ub}"] = timed(
+            jax.jit(lambda p, f, s=stack_mxu: s.apply(p, f)), sp, flat
+        )
+    feats = jax.jit(lambda p, f: stack.apply(p, f))(sp, flat)
+    feats = (
+        feats.reshape(G, CPS, *feats.shape[1:])
+        .swapaxes(2, 3)
+        .astype(jnp.float32)
+    )
+    feats.block_until_ready()
+    r["model_dft_cc"] = timed(
+        jax.jit(
+            lambda f: batch_self_correlate_dft(
+                f, precision=jax.lax.Precision.DEFAULT, sum_axis=2
+            )
+        ),
+        feats,
+    )
+
+    total = sum(r.values())
+    print(f"\nper-chunk ({T} samples, G={G} hit slots):", file=sys.stderr)
+    for name, ms in r.items():
+        print(f"  {name:24s} {ms:7.2f} ms", file=sys.stderr)
+    ps = CHUNKS
+    print(
+        f"fingerprint stage estimate/s-audio (x{ps} chunks, one gather): "
+        f"{ps * (r['top_hit_blocks'] + r['compact_hit_list'] + r['gather_matmul_DEFAULT'] + r['model_apply']):.1f} ms",
+        file=sys.stderr,
+    )
+    return r
+
+
+if __name__ == "__main__":
+    main()

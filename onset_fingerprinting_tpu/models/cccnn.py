@@ -43,16 +43,23 @@ def paired_xcorr(x: jnp.ndarray, C: int, K: int) -> jnp.ndarray:
 
 
 class Conv1dMXU(nn.Module):
-    """Stride-1 Conv1d computed as ONE dense matmul (Toeplitz form).
+    """Stride-1 Conv1d computed as Toeplitz-form matmuls.
 
     XLA's TPU conv algorithm collapses at tiny feature counts (the flagship
     stack is 1→5→…→5 channels): the MXU wants contraction dims in the
-    hundreds, and a [B, V, 5] conv leaves it ~99% idle — measured 25-40 ms
-    of the serving fingerprint stage.  Materializing the banded weight
-    matrix ``T[(u, c), (v, o)] = w[u-v, c, o]`` turns the whole layer into
-    ``x.reshape(B, U*C) @ T`` — a [B, ~1280] × [~1280, ~1280] matmul, the
-    exact shape the MXU is built for.  ~V/K more FLOPs than the conv
-    formulation, repaid many times over in utilization.
+    hundreds, and a [B, V, 5] conv leaves it ~99% idle (output features =
+    5 of 128 lanes) — measured 25-40 ms of the serving fingerprint stage.
+    Materializing the banded weight matrix ``T[(u, c), (v, o)] =
+    w[u-v, c, o]`` turns the whole layer into ``x.reshape(B, U*C) @ T`` —
+    MXU-shaped, but at ~V/K× the conv FLOPs (the band is mostly zeros).
+
+    ``u_block`` enables the BLOCKED banded form: split the output length
+    into chunks of ``u_block`` positions and contract each chunk's
+    ``(u_block + K - 1, C)`` input slab against the shared band slice
+    ``[(u_block+K-1)*C, u_block*F]`` — one matmul with N ≈ 128+ lanes and
+    only ``(u_block+K-1)/K``× FLOP inflation (e.g. 1.8× at K=33,
+    u_block=26, vs 8× dense).  ``kernel_size == 1`` short-circuits to the
+    exact pointwise matmul.
 
     Param tree is identical to ``nn.Conv`` (``kernel [K, C, F]``, ``bias
     [F]``), so checkpoints swap freely between impls (pass ``name=`` to pin
@@ -63,10 +70,24 @@ class Conv1dMXU(nn.Module):
     kernel_size: int
     padding: int
     dtype: Any = jnp.float32
+    #: output positions per matmul block (None = one dense band).  Pick
+    #: so ``u_block * features`` ≈ 128-256 (full MXU lane tiles).
+    u_block: int | None = None
+    #: flat I/O: input is PACKED ``[B, in_length*C]`` and the output is
+    #: packed ``[B, vout*features]``.  TPU tiled layouts pad the minor
+    #: dim to 128 lanes, so materializing [B, V, 5] activations costs
+    #: 25x the memory (measured: OOM at the 131k-window serving batch);
+    #: the packed form keeps every intermediate dense.
+    in_length: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, V, C]
-        b, v, c = x.shape
+        if self.in_length is not None:
+            b = x.shape[0]
+            v = self.in_length
+            c = x.shape[-1] // v
+        else:
+            b, v, c = x.shape
         k = self.kernel_size
         w = self.param(
             "kernel",
@@ -75,9 +96,62 @@ class Conv1dMXU(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         p = self.padding
+        f = self.features
+        flat = self.in_length is not None
+        # all branches work on the PACKED (v, c) flattening [B, V*C]
+        xf = x if flat else x.reshape(b, v * c)
         u = v + 2 * p
         vout = u - k + 1
-        xp = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
+
+        def out(yf, length):  # yf: [B, length*F] packed
+            if flat:
+                return yf
+            return yf.reshape(b, length, f)
+
+        if k == 1:
+            # pointwise conv IS a matmul — no band needed
+            xp = jnp.pad(xf, ((0, 0), (p * c, p * c)))
+            y = (
+                xp.reshape(b * u, c).astype(self.dtype)
+                @ w[0].astype(self.dtype)
+                + bias.astype(self.dtype)
+            )
+            return out(y.reshape(b, u * f), u)
+        if self.u_block is not None:
+            ub = self.u_block
+            n_blocks = -(-vout // ub)
+            s = ub + k - 1
+            # pad so every block has a full (ub + k - 1)-row input slab
+            xp = jnp.pad(
+                xf, ((0, 0), (p * c, (p + n_blocks * ub + k - 1 - u) * c))
+            )
+            # overlapping input slabs, sliced from the packed flattening
+            # (rows j*ub .. j*ub+s are contiguous there) — a [B, n, s, C]
+            # stack would tile-pad the C=5 minor dim to 128 lanes, 25x
+            # the memory (measured: a 0.8 GB slab stack allocated 22.5 GB)
+            slabs = jnp.stack(
+                [
+                    xp[:, j * ub * c : (j * ub + s) * c]
+                    for j in range(n_blocks)
+                ],
+                axis=1,
+            )  # [B, n_blocks, s*C] — packed minor dim
+            si = jnp.arange(s)[:, None]
+            ui = jnp.arange(ub)[None, :]
+            kk = si - ui  # slab row s feeds block output u iff 0<=s-u<k
+            mask = (kk >= 0) & (kk < k)
+            t = jnp.where(
+                mask[..., None, None], w[jnp.clip(kk, 0, k - 1)], 0.0
+            )  # [s, ub, C, F] -> [(s, C), (ub, F)]
+            t = t.transpose(0, 2, 1, 3).reshape(s * c, ub * f)
+            y = (
+                slabs.reshape(b * n_blocks, s * c).astype(self.dtype)
+                @ t.astype(self.dtype)
+                + jnp.tile(bias, ub).astype(self.dtype)
+            )
+            y = y.reshape(b, n_blocks * ub * f)[:, : vout * f]
+            return out(y, vout)
+        xp = jnp.pad(xf, ((0, 0), (p * c, p * c)))
         ui = jnp.arange(u)[:, None]
         vi = jnp.arange(vout)[None, :]
         kk = ui - vi  # y[v] reads xp[v + k'] → row u feeds col v iff
@@ -85,10 +159,11 @@ class Conv1dMXU(nn.Module):
         t = jnp.where(
             mask[..., None, None], w[jnp.clip(kk, 0, k - 1)], 0.0
         )  # [U, Vout, C, F]
-        t = t.transpose(0, 2, 1, 3).reshape(u * c, vout * self.features)
-        y = xp.reshape(b, u * c).astype(self.dtype) @ t.astype(self.dtype)
-        y = y.reshape(b, vout, self.features)
-        return y + bias.astype(self.dtype)
+        t = t.transpose(0, 2, 1, 3).reshape(u * c, vout * f)
+        y = xp.astype(self.dtype) @ t.astype(self.dtype) + jnp.tile(
+            bias, vout
+        ).astype(self.dtype)
+        return out(y, vout)
 
 
 class _ConvStack(nn.Module):
@@ -111,6 +186,9 @@ class _ConvStack(nn.Module):
     #: 'conv' = XLA conv; 'mxu' = Toeplitz-matmul form (Conv1dMXU; same
     #: params, requires stride=1 and dilation=1)
     conv_impl: str = "conv"
+    #: blocked-band width for conv_impl='mxu' (see Conv1dMXU.u_block);
+    #: None = dense band
+    conv_u_block: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -122,6 +200,31 @@ class _ConvStack(nn.Module):
             raise ValueError(
                 "conv_impl='mxu' supports stride=1, dilation=1 only"
             )
+        flat = use_mxu and not self.batch_norm and not self.pool
+        if flat:
+            # packed-flat pipeline: the whole stack runs on [B, V*C]
+            # arrays (activations are elementwise so they apply to the
+            # flat form directly).  Materializing [B, V, 5] between
+            # layers tile-pads the 5-wide minor dim to 128 lanes — 25x
+            # the memory, an OOM at the 131k-window serving batch.
+            b, v, c = x.shape
+            xf = x.reshape(b, v * c)
+            for i, (width, ks) in enumerate(
+                zip(self.layer_sizes, self.kernel_sizes)
+            ):
+                xf = Conv1dMXU(
+                    features=width,
+                    kernel_size=ks,
+                    padding=self.padding,
+                    dtype=self.dtype,
+                    u_block=self.conv_u_block,
+                    in_length=v,
+                    name=f"Conv_{i}",  # checkpoint-compatible w/ nn.Conv
+                )(xf)
+                v = v + 2 * self.padding - ks + 1
+                c = width
+                xf = act(xf)
+            return xf.reshape(b, v, c)
         # x: [B', L, 1]
         for i, (width, ks, stride) in enumerate(
             zip(self.layer_sizes, self.kernel_sizes, self.strides)
@@ -132,6 +235,7 @@ class _ConvStack(nn.Module):
                     kernel_size=ks,
                     padding=self.padding,
                     dtype=self.dtype,
+                    u_block=self.conv_u_block,
                     name=f"Conv_{i}",  # checkpoint-compatible with nn.Conv
                 )(x)
             else:
@@ -189,6 +293,9 @@ class CCCNN(nn.Module):
     #: (Toeplitz-matmul, see Conv1dMXU — same params, much faster on TPU
     #: for the few-feature flagship stack)
     conv_impl: str = "conv"
+    #: blocked-band width for conv_impl='mxu' (Conv1dMXU.u_block); pick so
+    #: u_block * layer width ≈ 128-256 lanes.  None = dense band.
+    conv_u_block: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -221,6 +328,7 @@ class CCCNN(nn.Module):
             activation=self.activation,
             dtype=self.dtype,
             conv_impl=self.conv_impl,
+            conv_u_block=self.conv_u_block,
         )
         if self.group:
             # independent weights per channel: vmap the stack over channels
@@ -251,7 +359,9 @@ class CCCNN(nn.Module):
                 if self.dtype == jnp.bfloat16
                 else None
             )
-            cc = batch_self_correlate_dft(feats, precision=prec).sum(axis=2)
+            # sum over the K maps on the power spectrum (linear transform
+            # — identical values, K-fold less inverse-matmul work)
+            cc = batch_self_correlate_dft(feats, precision=prec, sum_axis=2)
         else:
             cc = batch_full_correlate(feats, feats).sum(axis=2)  # [B,C,2V-1]
         if self.cc_norm:

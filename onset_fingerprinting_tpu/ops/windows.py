@@ -35,15 +35,17 @@ LANE = 128
 _SUB = 8  # sublane tile: kernel output rows padded cps -> 8
 
 
-def _gather_kernel(window: int, n: int, precision, *refs):
+def _gather_kernel(window: int, n: int, n_buf: int, precision, *refs):
     """Per-hit slab DMA + lane-group selection.
 
     Grid ``(n,)``; hit ``i`` copies ``x[start[i] : start[i]+W,
-    col[i] : col[i]+128]`` HBM→VMEM (double-buffered: the copy for hit
-    ``i+1`` is in flight while hit ``i`` computes), then compacts the
-    stream's ``cps`` lanes to output rows with one tiny MXU matmul
-    ``sel [8,128] @ slab[W,128]^T -> [8, W]`` — no scalar gathers, no
-    full-slab materialization in HBM.
+    col[i] : col[i]+128]`` HBM→VMEM through an ``n_buf``-slot ring (the
+    copies for hits ``i+1 .. i+n_buf-1`` are in flight while hit ``i``
+    computes — a 2-slot double buffer leaves the kernel DMA-latency
+    bound well above the bandwidth floor), then
+    compacts the stream's ``cps`` lanes to output rows with one tiny MXU
+    matmul ``sel [8,128] @ slab[W,128]^T -> [8, W]`` — no scalar
+    gathers, no full-slab materialization in HBM.
     """
     starts_ref, cols_ref, sel_ref, x_ref, out_ref, slab, sem = refs
     i = pl.program_id(0)
@@ -60,6 +62,96 @@ def _gather_kernel(window: int, n: int, precision, *refs):
 
     @pl.when(i == 0)
     def _warmup():
+        # prime hits 0 .. n_buf-2 (slots h); steady state keeps
+        # n_buf-1 copies in flight
+        for h in range(min(n_buf - 1, n)):
+            copy(h, h).start()
+
+    @pl.when(i + n_buf - 1 < n)
+    def _prefetch():
+        copy((i + n_buf - 1) % n_buf, i + n_buf - 1).start()
+
+    copy(i % n_buf, i).wait()
+    # HIGHEST precision (3x bf16 passes = the full f32 mantissa) makes the
+    # one-hot selection bit-exact; DEFAULT is one bf16 pass — free when the
+    # consumer casts to bf16 anyway (the serving model)
+    out_ref[0] = jax.lax.dot_general(
+        sel_ref[0],
+        slab[i % n_buf],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _gather_kernel_mh(
+    window: int, n_steps: int, h: int, precision, *refs
+):
+    """Multi-hit gather step: ``h`` hits per grid step.
+
+    Same slab-DMA + lane-select scheme as :func:`_gather_kernel`, but
+    each grid step waits/computes a GROUP of ``h`` hits while the next
+    group's ``h`` copies are in flight (2h slab slots).  The per-step
+    fixed cost (grid bookkeeping, scalar indexing) — measured ~280 ns of
+    the ~440 ns/hit single-hit steady state — is amortized ``h``-fold.
+    """
+    starts_ref, cols_ref, sel_ref, x_ref, out_ref, slab, sem = refs
+    i = pl.program_id(0)
+
+    def copy(slot, hit):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(starts_ref[hit] * 8, window),
+                     pl.ds(cols_ref[hit] * LANE, LANE)],
+            slab.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _warmup():
+        for j in range(h):
+            copy(j, j).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _prefetch():
+        for j in range(h):
+            copy(((i + 1) % 2) * h + j, (i + 1) * h + j).start()
+
+    base = (i % 2) * h
+    for j in range(h):
+        copy(base + j, i * h + j).wait()
+        out_ref[0, j] = jax.lax.dot_general(
+            sel_ref[0, j],
+            slab[base + j],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+
+def _gather_kernel_roll(window: int, n: int, *refs):
+    """Per-hit slab DMA + dynamic lane roll (matmul-free selection).
+
+    Same DMA scheme as :func:`_gather_kernel`, but the stream's ``cps``
+    lanes are brought to lane 0 with one dynamic lane rotation
+    (``pltpu.roll`` — a VPU permutation, ~W/8 cycles) instead of the
+    one-hot select matmul (~W MXU cycles per pass per hit).  Output is
+    window-major ``[W, 8]`` (lanes cps..7 carry neighbouring streams'
+    samples — callers slice ``[:cps]`` after transposing); values are
+    BIT-EXACT f32 (a pure permutation, no matmul rounding).
+    """
+    starts_ref, cols_ref, shifts_ref, x_ref, out_ref, slab, sem = refs
+    i = pl.program_id(0)
+
+    def copy(slot, hit):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(starts_ref[hit] * 8, window),
+                     pl.ds(cols_ref[hit] * LANE, LANE)],
+            slab.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _warmup():
         copy(0, 0).start()
 
     @pl.when(i + 1 < n)
@@ -67,16 +159,47 @@ def _gather_kernel(window: int, n: int, precision, *refs):
         copy((i + 1) % 2, i + 1).start()
 
     copy(i % 2, i).wait()
-    # HIGHEST precision (3x bf16 passes = the full f32 mantissa) makes the
-    # one-hot selection bit-exact; DEFAULT is one bf16 pass — free when the
-    # consumer casts to bf16 anyway (the serving model)
-    out_ref[0] = jax.lax.dot_general(
-        sel_ref[0],
-        slab[i % 2],
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
+    rolled = pltpu.roll(slab[i % 2], shift=shifts_ref[i], axis=1)
+    out_ref[0] = rolled[:, :_SUB]
+
+
+def _gather_pallas_roll(
+    x: jnp.ndarray,
+    row_start: jnp.ndarray,
+    stream_ids: jnp.ndarray,
+    cps: int,
+    window: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[N, W, 8] window-major windows via the roll gather kernel.
+
+    Lane c < cps of output row w is ``x[row_start[i]+w, stream*cps+c]``;
+    lanes cps..7 are neighbouring streams' lanes (slice them off).
+    """
+    n = row_start.shape[0]
+    rows8 = row_start // 8
+    cols = stream_ids // (LANE // cps)
+    # roll lanes so the stream's group lands at lane 0: out[l] = in[l+g*cps]
+    shifts = (-(stream_ids % (LANE // cps)) * cps) % LANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # x stays in HBM
+        out_specs=pl.BlockSpec(
+            (1, window, _SUB), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, LANE), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
+    return pl.pallas_call(
+        partial(_gather_kernel_roll, window, n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, window, _SUB), jnp.float32),
+        interpret=interpret,
+    )(rows8, cols, shifts, x)
 
 
 def _gather_pallas(
@@ -87,15 +210,33 @@ def _gather_pallas(
     window: int,
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    n_buf: int = 8,
+    hits_per_step: int = 1,
 ) -> jnp.ndarray:
     """[N, 8, W] windows via the DMA gather kernel (rows cps..7 zero).
 
     ``row_start``/``stream_ids`` are flat per-hit arrays — each hit reads
     stream ``stream_ids[i]``'s ``cps`` lanes starting at row
-    ``row_start[i]``.
+    ``row_start[i]``.  ``n_buf`` slab slots keep ``n_buf - 1`` DMAs in
+    flight (VMEM cost ``n_buf * W * 128 * 4`` bytes).  ``hits_per_step``
+    > 1 switches to the grouped kernel (:func:`_gather_kernel_mh`):
+    ``hits_per_step`` hits per grid step with ``2*hits_per_step`` slots,
+    amortizing the per-step fixed cost.
     """
     groups = LANE // cps
     n = row_start.shape[0]
+    h = hits_per_step
+    n_pad = -(-n // h) * h if h > 1 else n
+    if n_pad != n:
+        # pad with repeats of hit 0 (any in-range hit works; the extra
+        # windows are sliced off below)
+        pad = n_pad - n
+        row_start = jnp.concatenate(
+            [row_start, jnp.broadcast_to(row_start[:1], (pad,))]
+        )
+        stream_ids = jnp.concatenate(
+            [stream_ids, jnp.broadcast_to(stream_ids[:1], (pad,))]
+        )
     # tile-unit indices (see copy() in the kernel): rows floored to the
     # 8-row sublane tile — callers pass block-aligned starts, which are
     # 8-aligned for every power-of-two block size ≥ 8
@@ -104,14 +245,44 @@ def _gather_pallas(
     g = stream_ids % groups
     # per-hit lane-selection matrix [N, 8, LANE]: row c one-hot at lane
     # g*cps + c for c < cps
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, _SUB, LANE), 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n, _SUB, LANE), 2)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, _SUB, LANE), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, _SUB, LANE), 2)
     sel = jnp.where(
         (row_iota < cps)
         & (lane_iota == g[:, None, None] * cps + row_iota),
         jnp.float32(1.0),
         jnp.float32(0.0),
     )
+    if h > 1:
+        n_steps = n_pad // h
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h, _SUB, LANE), lambda i, *_: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h, _SUB, window), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * h, window, LANE), x.dtype),
+                pltpu.SemaphoreType.DMA((2 * h,)),
+            ],
+        )
+        out = pl.pallas_call(
+            partial(_gather_kernel_mh, window, n_steps, h, precision),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_steps, h, _SUB, window), jnp.float32
+            ),
+            interpret=interpret,
+        )(rows8, cols, sel.reshape(n_steps, h, _SUB, LANE), x)
+        return out.reshape(n_pad, _SUB, window)[:n]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n,),
@@ -127,19 +298,19 @@ def _gather_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, window, LANE), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_buf, window, LANE), x.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
     )
     return pl.pallas_call(
-        partial(_gather_kernel, window, n, precision),
+        partial(_gather_kernel, window, n, n_buf, precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, _SUB, window), jnp.float32),
         interpret=interpret,
     )(rows8, cols, sel, x)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def gather_block_windows(
     x: jnp.ndarray,
     block_starts: jnp.ndarray,
@@ -149,6 +320,7 @@ def gather_block_windows(
     backend: str = "auto",
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    hits_per_step: int = 8,
 ) -> jnp.ndarray:
     """Extract per-stream onset windows at block-aligned starts.
 
@@ -164,6 +336,9 @@ def gather_block_windows(
     :param precision: MXU precision of the lane-selection matmul.  HIGHEST
         (default) reproduces f32 bit-exactly; DEFAULT is one bf16 pass —
         use it when the consumer casts to bf16 anyway (the serving model)
+    :param hits_per_step: hits per kernel grid step (amortizes the
+        per-step fixed cost — measured 15.3 → 9.6 ms at 32k hits going
+        1 → 8; values are identical)
     :returns: ``[S, K, cps, W]`` float32 windows.  Row starts are floored
         to 8-sample (sublane) alignment: ``windows[s, k, c, w] ==
         x[((starts[s, k] - pre) // 8) * 8 + w, s*cps + c]`` — block-aligned
@@ -188,7 +363,8 @@ def gather_block_windows(
     if backend == "pallas" and wide:
         stream_ids = jnp.repeat(jnp.arange(n_streams, dtype=jnp.int32), k)
         out = _gather_pallas(
-            x, row_start, stream_ids, cps, window, interpret, precision
+            x, row_start, stream_ids, cps, window, interpret, precision,
+            hits_per_step=hits_per_step,
         )
         return out[:, :cps].reshape(n_streams, k, cps, window)
     if wide:
@@ -244,17 +420,16 @@ def top_hit_blocks(
     hit = jnp.any(on.reshape(nb, n_streams, cps), axis=-1)  # [nb, S]
     # sort-free: the j-th hit block of a stream is the unique row where the
     # hit-count prefix sum equals j+1 (lax.top_k lowers to a full sort on
-    # TPU — measured 33 ms at [2048, 750]; this is a cumsum + K argmax
-    # passes, ~1 ms)
+    # TPU — measured 33 ms at [2048, 750]).  Exactly one row matches each
+    # (stream, rank) pair, so "argmax" is just a weighted sum with the
+    # block index — ONE masked reduction for all K slots (K separate
+    # argmax passes measured 5.3 ms vs 3.8 at the serving shape).
     rank = jnp.cumsum(hit.astype(jnp.int32), axis=0)  # [nb, S]
-    slots = []
-    valids = []
-    for j in range(capacity):
-        m = hit & (rank == j + 1)
-        slots.append(jnp.argmax(m, axis=0).astype(jnp.int32))  # [S]
-        valids.append(jnp.any(m, axis=0))
-    blk = jnp.stack(slots, axis=1)  # [S, K]
-    valid = jnp.stack(valids, axis=1)
+    j = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    m = hit[:, :, None] & (rank[:, :, None] == j)  # [nb, S, K]
+    idx = jnp.arange(nb, dtype=jnp.int32)[:, None, None]
+    blk = jnp.sum(m * idx, axis=0, dtype=jnp.int32)  # [S, K]
+    valid = jnp.any(m, axis=0)
     return (blk * block_size).astype(jnp.int32), valid
 
 
@@ -339,7 +514,7 @@ def compact_hit_list(
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def gather_hit_windows(
     x: jnp.ndarray,
     starts: jnp.ndarray,
@@ -350,6 +525,7 @@ def gather_hit_windows(
     backend: str = "auto",
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    hits_per_step: int = 8,
 ) -> jnp.ndarray:
     """Extract windows for a FLAT per-hit ``(stream, start)`` list.
 
@@ -366,6 +542,8 @@ def gather_hit_windows(
     :param stream_ids: ``[N]`` int32 stream of each hit
     :param precision: MXU precision of the lane-selection matmul (see
         :func:`gather_block_windows`)
+    :param hits_per_step: hits per kernel grid step (see
+        :func:`gather_block_windows`)
     :returns: ``[N, cps, W]`` float32 windows.
     """
     t, c = x.shape
@@ -378,7 +556,8 @@ def gather_hit_windows(
         )
     if backend == "pallas" and wide:
         out = _gather_pallas(
-            x, row_start, stream_ids, cps, window, interpret, precision
+            x, row_start, stream_ids, cps, window, interpret, precision,
+            hits_per_step=hits_per_step,
         )
         return out[:, :cps]
     if wide:

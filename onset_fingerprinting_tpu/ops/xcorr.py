@@ -62,28 +62,37 @@ def _dft_matrices(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Constant matrices for self-correlation as two MXU matmuls.
 
     ``L`` need not be a power of two (unlike the FFT path) — just ≥ 2n-1
-    and a lane-friendly multiple of 16.
+    and a lane-friendly multiple of 16.  The forward matrices carry only
+    the first ``n`` rows (a zero-padded signal reads no others — skipping
+    the pad saves a full [..., L] intermediate write), and the inverse
+    matrix's columns are pre-permuted to emit lags in
+    ``np.correlate(mode='full')`` order directly (index ``n-1`` = lag 0),
+    so no output concatenate is needed.
     """
     L = ((2 * n - 1 + 15) // 16) * 16
     f = L // 2 + 1
-    ang = 2.0 * np.pi * np.outer(np.arange(L), np.arange(f)) / L
-    dft_re = np.cos(ang).astype(np.float32)        # [L, F]
+    ang = 2.0 * np.pi * np.outer(np.arange(n), np.arange(f)) / L
+    dft_re = np.cos(ang).astype(np.float32)        # [n, F]
     dft_im = (-np.sin(ang)).astype(np.float32)
     # inverse transform of a real (hermitian-symmetric) power spectrum:
-    # cc_circ[j] = 1/L * (p0 + 2·Σ_mid p_f cos(2πfj/L) [+ (-1)^j p_nyq])
+    # cc_circ[j] = 1/L * (p0 + 2·Σ_mid p_f cos(2πfj/L) [+ (-1)^j p_nyq]);
+    # column j of the output holds circular index (L-(n-1)+j) mod L
     w = np.full(f, 2.0, np.float32)
     w[0] = 1.0
     if L % 2 == 0:
         w[-1] = 1.0
+    j = (np.arange(2 * n - 1) + L - (n - 1)) % L
     inv = (
-        np.cos(2.0 * np.pi * np.outer(np.arange(f), np.arange(L)) / L)
+        np.cos(2.0 * np.pi * np.outer(np.arange(f), j) / L)
         * w[:, None]
         / L
-    ).astype(np.float32)                            # [F, L]
+    ).astype(np.float32)                            # [F, 2n-1]
     return dft_re, dft_im, inv
 
 
-def batch_self_correlate_dft(a: jnp.ndarray, precision=None) -> jnp.ndarray:
+def batch_self_correlate_dft(
+    a: jnp.ndarray, precision=None, sum_axis: int | None = None
+) -> jnp.ndarray:
     """Self-correlation ``batch_full_correlate(a, a)`` as two plain matmuls.
 
     XLA's TPU FFT is slow for huge batches of short signals (measured
@@ -97,20 +106,24 @@ def batch_self_correlate_dft(a: jnp.ndarray, precision=None) -> jnp.ndarray:
     batch (655k signals) that is ~27 ms vs ~5 ms, so throughput callers
     whose features are bf16 anyway (CCCNN ``dtype=bfloat16``) pass
     ``precision=jax.lax.Precision.DEFAULT`` explicitly.
+
+    ``sum_axis`` sums the result over that (batch) axis — equal to
+    ``batch_self_correlate_dft(a).sum(axis=sum_axis)`` but the sum is
+    applied to the power spectrum BEFORE the inverse matmul (the
+    transform is linear), cutting the inverse work and the output
+    traffic by the summed-axis length (the CCCNN sums over its K feature
+    maps; measured several ms at fleet-serving batch).
     """
     n = a.shape[-1]
     dft_re, dft_im, inv = _dft_matrices(n)
-    L = dft_re.shape[0]
-    pad = jnp.concatenate(
-        [a, jnp.zeros((*a.shape[:-1], L - n), a.dtype)], axis=-1
-    )
     hi = jax.lax.Precision.HIGHEST if precision is None else precision
-    re = jnp.matmul(pad, jnp.asarray(dft_re), precision=hi)
-    im = jnp.matmul(pad, jnp.asarray(dft_im), precision=hi)
+    re = jnp.matmul(a, jnp.asarray(dft_re), precision=hi)
+    im = jnp.matmul(a, jnp.asarray(dft_im), precision=hi)
     power = re * re + im * im
-    # [..., L] circular self-CC
-    cc = jnp.matmul(power, jnp.asarray(inv), precision=hi)
-    return jnp.concatenate([cc[..., L - (n - 1):], cc[..., :n]], axis=-1)
+    if sum_axis is not None:
+        power = power.sum(axis=sum_axis)
+    # [..., 2n-1] self-CC, lag order matching np.correlate(mode='full')
+    return jnp.matmul(power, jnp.asarray(inv), precision=hi)
 
 
 def find_lag(a, b) -> int:

@@ -331,6 +331,27 @@ class TestConv1dMXU:
         with pytest.raises(ValueError, match="stride"):
             m.init(jax.random.PRNGKey(0), x, train=False)
 
+    def test_blocked_band_outputs_match_conv(self):
+        """u_block (blocked-banded Toeplitz) = same checkpoint, same
+        numerics; block width not dividing the output length exercises
+        the tail-padding path."""
+        kw = dict(
+            output_size=2, channels=3, layer_sizes=[4, 6],
+            kernel_sizes=[9, 15], dropout_rate=0.0, batch_norm=True,
+            cc_norm=True,
+        )
+        m_conv = CCCNN(conv_impl="conv", **kw)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 1, (4, 3, 64)).astype(np.float32))
+        v = m_conv.init(jax.random.PRNGKey(0), x, train=False)
+        out_conv = m_conv.apply(v, x, train=False)
+        for ub in (7, 26):
+            m_mxu = CCCNN(conv_impl="mxu", conv_u_block=ub, **kw)
+            out_mxu = m_mxu.apply(v, x, train=False)
+            np.testing.assert_allclose(
+                np.asarray(out_conv), np.asarray(out_mxu), atol=1e-4
+            )
+
 
 class TestBfloat16:
     def test_bf16_compute_forward(self):

@@ -164,6 +164,20 @@ class TestXCorr:
                 got, ref, atol=1e-3 * max(np.abs(ref).max(), 1.0)
             )
 
+    def test_self_correlate_dft_sum_axis(self, rng):
+        """sum_axis folds the map-sum into the inverse transform (linear)
+        — same values as summing afterwards, K-fold less inverse work."""
+        from onset_fingerprinting_tpu.ops.xcorr import (
+            batch_self_correlate_dft,
+        )
+
+        a = jnp.asarray(rng.normal(size=(3, 4, 5, 64)).astype(np.float32))
+        ref = np.asarray(batch_self_correlate_dft(a)).sum(axis=2)
+        got = np.asarray(batch_self_correlate_dft(a, sum_axis=2))
+        np.testing.assert_allclose(
+            got, ref, atol=1e-3 * max(np.abs(ref).max(), 1.0)
+        )
+
     def test_streaming_cc_golden(self):
         """The c/test.py harness, ported: streaming CC over sine+noise must
         match np.correlate(mode='full') per block within 1e-3."""

@@ -273,3 +273,28 @@ def test_precision_knob_accepted_both_gathers():
         )
     )
     np.testing.assert_array_equal(hi_f, lo_f)
+
+
+def test_multi_hit_gather_padding():
+    """The grouped (hits_per_step=8) kernel pads hit counts that don't
+    divide the group size; padded slots must not leak into the output."""
+    rng = np.random.default_rng(11)
+    t, s, cps, w, n = 2048, 64, 4, 256, 41  # 41 % 8 != 0
+    x = rng.normal(size=(t, s * cps)).astype(np.float32)
+    starts = (rng.integers(0, (t - w) // 8, n) * 8).astype(np.int32)
+    sids = rng.integers(0, s, n).astype(np.int32)
+    ref = np.asarray(
+        gather_hit_windows(
+            jnp.asarray(x), jnp.asarray(starts), jnp.asarray(sids),
+            cps, w, 0, "xla",
+        )
+    )
+    for h in (1, 4, 8):
+        got = np.asarray(
+            gather_hit_windows(
+                jnp.asarray(x), jnp.asarray(starts), jnp.asarray(sids),
+                cps, w, 0, "pallas", True,
+                hits_per_step=h,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
