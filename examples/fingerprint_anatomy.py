@@ -103,35 +103,9 @@ def main():
         starts_pad, valid_pad,
     )
 
-    # candidate reformulations (exact-parity tested on CPU):
-    def top_hit_v2(o):
-        nb_ = o.shape[0]
-        hit = jnp.any(o.reshape(nb_, N_STREAMS, CPS), axis=-1)
-        rank = jnp.cumsum(hit.astype(jnp.int32), axis=0)
-        jj = jnp.arange(1, MAX_HITS + 1, dtype=jnp.int32)
-        m = hit[:, :, None] & (rank[:, :, None] == jj)
-        idx = jnp.arange(nb_, dtype=jnp.int32)[:, None, None]
-        blk = jnp.sum(m * idx, axis=0, dtype=jnp.int32)
-        return (blk * 128).astype(jnp.int32), jnp.any(m, axis=0)
-
-    def compact_v2(st, va):
-        s_, k_ = st.shape
-        flatv = va.reshape(-1)
-        rank = jnp.cumsum(flatv.astype(jnp.int32)) - 1
-        keep = flatv & (rank < G)
-        tgt = jnp.where(keep, rank, G)
-        sid_src = jnp.arange(s_ * k_, dtype=jnp.int32) // k_
-        o_st = jnp.zeros(G, jnp.int32).at[tgt].set(
-            st.reshape(-1), mode="drop"
-        )
-        o_si = jnp.zeros(G, jnp.int32).at[tgt].set(sid_src, mode="drop")
-        total = jnp.sum(flatv.astype(jnp.int32))
-        return o_st, o_si, jnp.arange(G) < total, jnp.maximum(total - G, 0)
-
-    r["top_hit_blocks_v2"] = timed(jax.jit(top_hit_v2), on)
-    r["compact_hit_list_v2"] = timed(
-        jax.jit(compact_v2), starts_pad, valid_pad
-    )
+    # (rejected candidates, measured in round 3 and kept out: a
+    # scatter-based compaction was 5.6 ms vs nonzero's 3.8; the K-argmax
+    # top_hit_blocks was 5.3 ms vs the adopted weighted-sum 3.8)
 
     def g_high(xx, st, si):
         return gather_hit_windows(
