@@ -20,6 +20,8 @@ Env knobs:
     OFPTPU_BENCH_SWEEP    "1" → also sweep C=1024..16384 (stderr table)
     OFPTPU_BENCH_COMPACT  "0" → padded per-stream hit slots instead of the
                           globally compacted hit list (default "1")
+    OFPTPU_BENCH_CONV     CCCNN conv-stack impl: "pallas" (default, fused
+                          whole-stack kernel) or "conv" (XLA conv)
     OFPTPU_COMPILE_CACHE  persistent compile cache dir (default .jax_cache)
 """
 
@@ -113,6 +115,9 @@ def make_fingerprinter(n_streams: int, block_size: int,
         cc_impl="dft",
         # the capability-proven serving head (models/cccnn.py::cc_norm)
         cc_norm=True,
+        # fused whole-stack Pallas conv (ops/pallas_conv.py): measured
+        # 23.3 -> ~7 ms at the serving batch vs XLA's few-feature conv
+        conv_impl=os.environ.get("OFPTPU_BENCH_CONV", "pallas"),
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, cps, WINDOW), jnp.float32)

@@ -168,6 +168,11 @@ def main():
     r["model_apply"] = timed(
         jax.jit(lambda p, w: model.apply(p, w)), params, windows
     )
+    # fused Pallas conv stack (ops/pallas_conv.py): same params
+    model_pal = model.copy(conv_impl="pallas")
+    r["model_apply_pallas"] = timed(
+        jax.jit(lambda p, w: model_pal.apply(p, w)), params, windows
+    )
 
     # model decomposition: conv stack vs DFT self-CC vs head
     stack = _ConvStack(
@@ -188,6 +193,11 @@ def main():
         r[f"model_conv_stack_mxu{ub}"] = timed(
             jax.jit(lambda p, f, s=stack_mxu: s.apply(p, f)), sp, flat
         )
+    # fused whole-stack Pallas kernel (batch-on-lanes banded matmuls)
+    stack_pal = stack.copy(conv_impl="pallas")
+    r["model_conv_stack_pallas"] = timed(
+        jax.jit(lambda p, f, s=stack_pal: s.apply(p, f)), sp, flat
+    )
     feats = jax.jit(lambda p, f: stack.apply(p, f))(sp, flat)
     feats = (
         feats.reshape(G, CPS, *feats.shape[1:])

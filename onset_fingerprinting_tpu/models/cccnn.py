@@ -166,6 +166,26 @@ class Conv1dMXU(nn.Module):
         return out(y, vout)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only conv module: declares an ``nn.Conv``-compatible
+    ``kernel [K, I, O]`` + ``bias [O]`` pair (same init, same tree path)
+    and returns them for an external fused kernel to consume."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w, b
+
+
 class _ConvStack(nn.Module):
     """Shared conv feature extractor applied per channel.
 
@@ -193,6 +213,48 @@ class _ConvStack(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = ACTIVATIONS[self.activation]
+        if self.conv_impl == "pallas":
+            # fused whole-stack Pallas kernel (ops/pallas_conv.py):
+            # batch-on-lanes banded MXU matmuls, all layers resident in
+            # VMEM.  Same param tree as nn.Conv; inference path only.
+            if self.dilation != 1 or any(s != 1 for s in self.strides):
+                raise ValueError(
+                    "conv_impl='pallas' supports stride=1, dilation=1 only"
+                )
+            if self.batch_norm or self.pool:
+                raise ValueError(
+                    "conv_impl='pallas' does not support batch_norm/pool"
+                )
+            if x.shape[-1] != 1:
+                raise ValueError(
+                    "conv_impl='pallas' expects single-feature input"
+                )
+            from onset_fingerprinting_tpu.ops.pallas_conv import (
+                conv_stack_fused,
+            )
+
+            ws, bs = [], []
+            cin = 1
+            for i, (width, ks) in enumerate(
+                zip(self.layer_sizes, self.kernel_sizes)
+            ):
+                w, b = _ConvParams(
+                    features=width,
+                    kernel_size=ks,
+                    in_features=cin,
+                    name=f"Conv_{i}",  # checkpoint-compatible w/ nn.Conv
+                )()
+                ws.append(w)
+                bs.append(b)
+                cin = width
+            return conv_stack_fused(
+                x[..., 0],
+                tuple(ws),
+                tuple(bs),
+                padding=self.padding,
+                activation=self.activation,
+                compute_dtype=self.dtype,
+            )
         use_mxu = self.conv_impl == "mxu"
         if use_mxu and (
             self.dilation != 1 or any(s != 1 for s in self.strides)
@@ -289,9 +351,11 @@ class CCCNN(nn.Module):
     #: otherwise discard — on the modal-drum fixture those two cues carry
     #: the position signal.  Default False preserves reference parity.
     cc_norm: bool = False
-    #: conv-stack implementation: 'conv' (XLA conv) or 'mxu'
-    #: (Toeplitz-matmul, see Conv1dMXU — same params, much faster on TPU
-    #: for the few-feature flagship stack)
+    #: conv-stack implementation: 'conv' (XLA conv), 'mxu'
+    #: (Toeplitz-matmul, see Conv1dMXU — fast cold compile), or 'pallas'
+    #: (fused whole-stack kernel, ops/pallas_conv.py — the fast serving
+    #: path for the few-feature flagship stack; inference only, same
+    #: params as nn.Conv so checkpoints swap freely)
     conv_impl: str = "conv"
     #: blocked-band width for conv_impl='mxu' (Conv1dMXU.u_block); pick so
     #: u_block * layer width ≈ 128-256 lanes.  None = dense band.
@@ -305,6 +369,11 @@ class CCCNN(nn.Module):
             # ~30x slower FFT path in a serving setup tuned for 'dft'
             raise ValueError(
                 f"cc_impl must be 'fft' or 'dft', got {self.cc_impl!r}"
+            )
+        if self.conv_impl not in ("conv", "mxu", "pallas"):
+            raise ValueError(
+                "conv_impl must be 'conv', 'mxu' or 'pallas', "
+                f"got {self.conv_impl!r}"
             )
         b, c, length = x.shape
         ks = (
@@ -330,6 +399,11 @@ class CCCNN(nn.Module):
             conv_impl=self.conv_impl,
             conv_u_block=self.conv_u_block,
         )
+        if self.group and self.conv_impl == "pallas":
+            raise ValueError(
+                "conv_impl='pallas' requires group=False (the flagship "
+                "shared-weights configuration)"
+            )
         if self.group:
             # independent weights per channel: vmap the stack over channels
             feats = nn.vmap(
