@@ -220,8 +220,8 @@ def main():
         print(f"  {name:24s} {ms:7.2f} ms", file=sys.stderr)
     ps = CHUNKS
     print(
-        f"fingerprint stage estimate/s-audio (x{ps} chunks, one gather): "
-        f"{ps * (r['top_hit_blocks'] + r['compact_hit_list'] + r['gather_matmul_DEFAULT'] + r['model_apply']):.1f} ms",
+        f"fingerprint stage estimate/s-audio (x{ps} chunks, pallas conv): "
+        f"{ps * (r['top_hit_blocks'] + r['compact_hit_list'] + r['gather_matmul_DEFAULT'] + r['model_apply_pallas']):.1f} ms",
         file=sys.stderr,
     )
     return r

@@ -216,7 +216,8 @@ class _ConvStack(nn.Module):
         if self.conv_impl == "pallas":
             # fused whole-stack Pallas kernel (ops/pallas_conv.py):
             # batch-on-lanes banded MXU matmuls, all layers resident in
-            # VMEM.  Same param tree as nn.Conv; inference path only.
+            # VMEM.  Same param tree as nn.Conv; trains too (custom VJP
+            # differentiates the identical XLA conv chain).
             if self.dilation != 1 or any(s != 1 for s in self.strides):
                 raise ValueError(
                     "conv_impl='pallas' supports stride=1, dilation=1 only"
@@ -354,8 +355,9 @@ class CCCNN(nn.Module):
     #: conv-stack implementation: 'conv' (XLA conv), 'mxu'
     #: (Toeplitz-matmul, see Conv1dMXU — fast cold compile), or 'pallas'
     #: (fused whole-stack kernel, ops/pallas_conv.py — the fast serving
-    #: path for the few-feature flagship stack; inference only, same
-    #: params as nn.Conv so checkpoints swap freely)
+    #: path for the few-feature flagship stack; trains via a custom VJP
+    #: over the identical XLA conv chain; same params as nn.Conv so
+    #: checkpoints swap freely)
     conv_impl: str = "conv"
     #: blocked-band width for conv_impl='mxu' (Conv1dMXU.u_block); pick so
     #: u_block * layer width ≈ 128-256 lanes.  None = dense band.

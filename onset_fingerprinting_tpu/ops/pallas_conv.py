@@ -23,9 +23,11 @@ TPU-native formulation used here (ONE Pallas kernel for the whole stack):
    VMEM; HBM traffic is one read of the input and one write of the final
    feature maps.  Intermediate layers never touch HBM.
 
-Serving/inference path only (no custom VJP) — training uses the XLA conv
-(``CCCNN(conv_impl='conv')``); the param tree is identical, so checkpoints
-swap freely.
+Differentiable via a custom VJP: the backward pass computes exact
+gradients of the mathematically-identical XLA conv chain, so
+``CCCNN(conv_impl='pallas')`` trains (gradients match ``conv_impl='conv'``
+to ~1e-7).  The param tree is identical to ``nn.Conv``, so checkpoints
+swap freely between implementations.
 """
 
 from __future__ import annotations
@@ -223,6 +225,24 @@ def _stack_kernel(layers, in_buf, act, store_dtype, precision, *refs):
         out_ref[f] = acts[f][_Z : _Z + last.t_out, :].astype(out_ref.dtype)
 
 
+def _stack_reference(x, weights, biases, padding, activation, compute_dtype):
+    """Pure-XLA forward of the same stack (conv chain) — the backward
+    pass differentiates THIS, so training through the fused kernel gets
+    exact gradients of the mathematically-identical XLA formulation."""
+    act = _ACTIVATIONS[activation]
+    y = x[..., None].astype(compute_dtype)
+    for w, b in zip(weights, biases):
+        y = jax.lax.conv_general_dilated(
+            y,
+            w.astype(compute_dtype),
+            window_strides=(1,),
+            padding=[(padding, padding)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        y = act(y + b.astype(compute_dtype))
+    return y.astype(jnp.float32)
+
+
 def conv_stack_fused(
     x: jnp.ndarray,
     weights: tuple[jnp.ndarray, ...],
@@ -259,14 +279,35 @@ def conv_stack_fused(
         off TPU (the hermetic-CPU test configuration)
     :returns: ``[B, T_out, O_last]`` float32 feature maps, identical (to
         dtype tolerance) to chaining ``nn.Conv`` + activation per layer
+
+    Differentiable: the backward pass computes exact gradients of the
+    mathematically-identical XLA conv chain (``jax.vjp`` of
+    :func:`_stack_reference` — the standard custom-VJP route for a
+    forward-optimized kernel), so ``CCCNN(conv_impl='pallas')`` trains.
     """
-    b_n, length = x.shape
     shapes = [tuple(w.shape) for w in weights]
     if shapes[0][1] != 1:
         raise ValueError("first layer must take a single input feature")
     for (_, i_f, _), (_, _, o_prev) in zip(shapes[1:], shapes[:-1]):
         if i_f != o_prev:
             raise ValueError("layer feature widths do not chain")
+    # validate the plan eagerly (padding bound, kernel-vs-length) so the
+    # error surfaces at the public boundary, not inside the vjp wrapper
+    _plan(x.shape[1], shapes, padding, block_positions)
+    return _fused(
+        x, tuple(weights), tuple(biases), padding, activation,
+        compute_dtype, block_lanes, block_positions, matmul_precision,
+        interpret,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _fused(
+    x, weights, biases, padding, activation, compute_dtype, block_lanes,
+    block_positions, matmul_precision, interpret,
+):
+    b_n, length = x.shape
+    shapes = [tuple(w.shape) for w in weights]
     layers, in_buf = _plan(length, shapes, padding, block_positions)
     act = _ACTIVATIONS[activation]
     if interpret is None:
@@ -330,3 +371,31 @@ def conv_stack_fused(
     )(*ins)
     # [O, T, B] -> [B, T, O]; XLA fuses this transpose into the consumer
     return jnp.transpose(out[:, :, :b_n], (2, 1, 0))
+
+
+def _fused_fwd(
+    x, weights, biases, padding, activation, compute_dtype, block_lanes,
+    block_positions, matmul_precision, interpret,
+):
+    out = _fused(
+        x, weights, biases, padding, activation, compute_dtype,
+        block_lanes, block_positions, matmul_precision, interpret,
+    )
+    return out, (x, weights, biases)
+
+
+def _fused_bwd(
+    padding, activation, compute_dtype, block_lanes, block_positions,
+    matmul_precision, interpret, residuals, g,
+):
+    x, weights, biases = residuals
+    _, vjp = jax.vjp(
+        lambda xx, ww, bb: _stack_reference(
+            xx, ww, bb, padding, activation, compute_dtype
+        ),
+        x, weights, biases,
+    )
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -178,6 +178,28 @@ class TestCCCNNPallasImpl:
         }
         assert paths(p_conv) == paths(p_pal)
 
+    def test_gradients_match_conv_impl(self):
+        # custom VJP: backward differentiates the XLA conv chain, so
+        # training through the fused kernel gets exact reference grads
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(4, 4, 256)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(4, 2)).astype(np.float32))
+        m_conv = CCCNN(conv_impl="conv", **self.KW)
+        m_pal = CCCNN(conv_impl="pallas", **self.KW)
+        params = m_conv.init(jax.random.PRNGKey(0), x)
+
+        def loss(m):
+            return lambda p: jnp.mean(jnp.abs(m.apply(p, x) - y))
+
+        g1 = jax.grad(loss(m_conv))(params)
+        g2 = jax.grad(loss(m_pal))(params)
+        import jax.tree_util as jtu
+
+        for a, b in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+            )
+
     def test_rejects_unsupported_configs(self):
         x = jnp.zeros((2, 4, 256))
         with pytest.raises(ValueError, match="group=False"):
