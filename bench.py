@@ -365,7 +365,57 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     }
 
 
+def _await_healthy_backend(max_wait_s: float, probe_timeout: float = 120.0):
+    """Refuse to hang on a wedged accelerator transport.
+
+    ``jax.devices()`` does not merely raise when the accelerator plugin's
+    transport is broken — it can BLOCK indefinitely (observed live on the
+    axon tunnel).  Probe backend init in throwaway subprocesses under a
+    hard timeout, retrying up to ``max_wait_s`` (a wedged tunnel often
+    recovers once the server-side job blocking it finishes); return True
+    once a probe succeeds, False if the wait budget runs out — so the
+    driver records a clean failure it can retry instead of a hang.
+    """
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout,
+            )
+            if out.returncode == 0:
+                return True
+            err = out.stderr.strip().splitlines()
+            log(f"backend probe {attempt} failed: {err[-1] if err else '?'}")
+        except subprocess.TimeoutExpired:
+            log(
+                f"backend probe {attempt} hung >{probe_timeout:.0f}s "
+                "(wedged transport?)"
+            )
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        time.sleep(min(max(60 - (time.monotonic() - t0), 5), remaining))
+
+
 def main() -> int:
+    probe_wait = float(os.environ.get("OFPTPU_BENCH_PROBE_WAIT", "1800"))
+    if probe_wait > 0 and not _await_healthy_backend(probe_wait):
+        log(
+            "FATAL: no healthy jax backend within "
+            f"{probe_wait:.0f}s — refusing to hang; rerun when the "
+            "accelerator transport recovers (OFPTPU_BENCH_PROBE_WAIT=0 "
+            "skips this guard)"
+        )
+        return 2
+
     import jax
 
     from onset_fingerprinting_tpu.core.compile_cache import (
