@@ -5,12 +5,21 @@ Equivalent of running the reference's training entry with its optuna study
 drives `models.hpo.Study` (random search + median pruning) over CCCNN
 configs, with every training step jitted on the TPU.
 
-The synthetic session is physically consistent: hits at known drum
-positions produce per-channel burst arrivals whose lags encode the
-position, so the CCCNN's cross-correlation features have real signal to
-learn from.
+Two fixtures (``--fixture``):
 
-Run: python examples/hpo_demo.py [--cpu] [--trials 2]
+- ``modal`` (default): the modal-drum synthesizer (`data.synth`) — per-
+  sensor waveform content varies with hit position (membrane mode shapes,
+  distance-dependent dispersion/attenuation), so raw onset windows carry
+  genuinely learnable regression signal.  This is the fixture the
+  capability proof (examples/fingerprint_capability_demo.py) reaches
+  sub-cm on; HPO here should land in the same regime.
+- ``airlag``: the round-2 pure-TDOA fixture (identical burst per channel,
+  shifted by air-speed delays).  KEPT AS A NEGATIVE CONTROL: the CCCNN's
+  per-channel self-correlation features are shift-invariant, so this
+  fixture contains no signal for the architecture and HPO plateaus at the
+  predict-the-mean floor (~5.5-6.7 cm) — the round-2 result, root-caused.
+
+Run: python examples/hpo_demo.py [--cpu] [--trials 2] [--fixture modal]
 """
 
 from __future__ import annotations
@@ -92,12 +101,21 @@ def main():
     ap.add_argument("--patience", type=int, default=0,
                     help="early-stop patience; 0 = no early stop")
     ap.add_argument("--hits", type=int, default=48)
+    ap.add_argument("--fixture", choices=("modal", "airlag"),
+                    default="modal")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as td:
         folder = Path(td)
-        synth_session(folder, n_hits=args.hits)
+        if args.fixture == "modal":
+            from onset_fingerprinting_tpu.data.synth import (
+                synth_location_session,
+            )
+
+            synth_location_session(folder, n_hits=args.hits, sr=SR, seed=0)
+        else:
+            synth_session(folder, n_hits=args.hits)
         t0 = time.perf_counter()
         study = run_location_hpo(
             folder, "combined0", w=256, channels=4, pre_samples=8,
@@ -107,10 +125,14 @@ def main():
         )
         el = time.perf_counter() - t0
     print(f"{args.trials} trials x {args.epochs} epochs in {el:.1f}s")
-    print(f"best test L1: {study.best_value:.3f} cm "
-          f"(predict-mean baseline ~6.7 cm; converged accuracy needs a real"
-          f" dataset + the reference's full budget — train.py ran hours on"
-          f" 1240 real hits)")
+    note = (
+        "predict-mean floor ~6.8 cm; sub-cm reachable on this fixture "
+        "(capability demo: 0.63 cm at 768 hits / 2000 epochs)"
+        if args.fixture == "modal"
+        else "negative control: no learnable waveform signal — expect the "
+        "predict-mean floor (~5.5-6.7 cm)"
+    )
+    print(f"best test L1: {study.best_value:.3f} cm ({note})")
     print(f"best params: {study.best_params}")
     states = [t.state for t in study.results]
     print(f"trial states: {states}")
