@@ -299,12 +299,17 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     )
 
     # per-stage breakdown (each stage pays one tunnel-dispatch sync);
-    # with chunking, one iteration = `chunks` dispatches = 1 s of audio
+    # with chunking, one iteration = `chunks` dispatches = 1 s of audio.
+    # Detector state is CARRIED chunk-to-chunk (and across iterations —
+    # endless-stream steady state): chunk j+1 consumes chunk j's state,
+    # the real streaming dependency chain, not `chunks` independent
+    # re-detections of the first chunk.
     det_times, fp_times = [], []
+    st = state
     for _ in range(n_iter):
         t0 = time.perf_counter()
         for _j in range(chunks):
-            _, (on, d, _) = run(state, xd)
+            st, (on, d, _) = run(st, xd)
         _ = int(jnp.sum(on)) + int(jnp.sum(d))
         t1 = time.perf_counter()
         for _j in range(chunks):
@@ -313,23 +318,39 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
         t2 = time.perf_counter()
         det_times.append(t1 - t0)
         fp_times.append(t2 - t1)
+    # re-gate correctness at carried-state steady state: the warm-up gate
+    # above saw the first chunk only; this sees events detected AFTER many
+    # carried chunks (adaptive thresholds at their fixed point)
+    n_tp2, n_spur2, n_matched2 = (int(v) for v in correctness(on))
+    if (n_matched2, n_spur2) != (n_matched, n_spur):
+        log(
+            f"C={c} carried-state correctness: matched {n_matched2} "
+            f"(warm-up {n_matched}), spurious {n_spur2} ({n_spur})"
+        )
+    # the reported gate is the steady-state one
+    n_tp, n_spur, n_matched = n_tp2, n_spur2, n_matched2
+    precision = n_tp / max(n_tp + n_spur, 1)
+    recall = n_matched / n_expected
 
     # headline: ONE fused dispatch for the whole detect→fingerprint
     # pipeline (the serving shape — a single device program per second of
     # audio, one host sync)
     @jax.jit
     def pipeline(state, xd):
-        _, (on, d, _) = run(state, xd)
+        state, (on, d, _) = run(state, xd)
         preds, n_hits, _dropped = fingerprint(fp_params, xd, on, d)
-        return jnp.sum(preds), n_hits
+        return state, jnp.sum(preds), n_hits
 
     tot_times = []
-    s, n_hits = pipeline(state, xd)  # compile
+    stp = state
+    stp, s, n_hits = pipeline(stp, xd)  # compile
     _ = float(s)
     for _ in range(n_iter):
         t0 = time.perf_counter()
         for _j in range(chunks):
-            s, n_hits = pipeline(state, xd)
+            # carried state: each chunk's detection consumes the previous
+            # chunk's detector state (true streaming), still queued async
+            stp, s, n_hits = pipeline(stp, xd)
         _ = float(s)  # chunk dispatches queue async; one sync per second
         tot_times.append(time.perf_counter() - t0)
 

@@ -32,7 +32,7 @@ N_STREAMS = 8192
 CPS = 4
 C = N_STREAMS * CPS
 WINDOW = 256
-PRE = 128
+PRE = 64  # matches bench.py's serving configuration
 G = 32768  # compacted global hit budget per chunk (bench.py formula)
 MAX_HITS = 6  # per-stream capacity per chunk
 
@@ -214,7 +214,6 @@ def main():
         feats,
     )
 
-    total = sum(r.values())
     print(f"\nper-chunk ({T} samples, G={G} hit slots):", file=sys.stderr)
     for name, ms in r.items():
         print(f"  {name:24s} {ms:7.2f} ms", file=sys.stderr)

@@ -452,23 +452,34 @@ def train_location_model(
             (p, bs, opt_state), losses = jax.lax.scan(
                 body, (p, bs, opt_state), None, length=k
             )
-            return p, bs, opt_state, losses
+            # loss OF the post-chunk params (one extra forward, no update):
+            # the per-epoch `losses` are each evaluated at pre-update
+            # params, so the chunk minimum describes a mid-chunk state we
+            # cannot snapshot — pairing it with the post-chunk params would
+            # reintroduce the off-by-one the single-epoch loop guards
+            # against (possibly many steps past the optimum, at a
+            # warm-restart LR spike).  Best-tracking uses (p, end_loss),
+            # an honest pair, at chunk granularity.
+            end_loss, bs_eval = loss_fn(p, bs)
+            return p, bs, bs_eval, opt_state, losses, end_loss
 
         for chunk in range((num_epochs + k - 1) // k):
-            p, bs, opt_state, losses = step_many(p, bs, opt_state)
+            p, bs, bs_eval, opt_state, losses, end_loss = step_many(
+                p, bs, opt_state
+            )
             losses = np.asarray(losses)
             errors.extend(float(v) for v in losses)
-            lo = float(losses.min())
-            if lo < last_loss - eps:
-                last_loss = lo
-                best = (p, bs)
+            end_loss = float(end_loss)
+            if end_loss < last_loss - eps:
+                last_loss = end_loss
+                best = (p, bs_eval)
                 counter = 0
             elif counter < patience:
                 counter += k
             else:
                 break
             if verbose:
-                print(f"epoch {(chunk + 1) * k}: loss {lo:.3e}")
+                print(f"epoch {(chunk + 1) * k}: loss {end_loss:.3e}")
         return (
             FCNNBundle(model, {"params": best[0], "batch_stats": best[1]}),
             errors,

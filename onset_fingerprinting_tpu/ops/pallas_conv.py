@@ -49,15 +49,12 @@ LANE = 128
 _Z = 16
 _ALIGN = 16
 
-_ACTIVATIONS = {
-    "relu": jax.nn.relu,
-    "silu": jax.nn.silu,
-    "leakyrelu": jax.nn.leaky_relu,
-    "elu": jax.nn.elu,
-    "tanh": jnp.tanh,
-    "sigmoid": jax.nn.sigmoid,
-    "linear": lambda x: x,
-}
+# the shared activation registry (models/fcnn.py) plus identity, so every
+# name valid for conv_impl='conv'/'mxu' stays valid here — a second
+# hand-maintained dict would drift
+from onset_fingerprinting_tpu.models.fcnn import ACTIVATIONS as _FCNN_ACTS
+
+_ACTIVATIONS = dict(_FCNN_ACTS, linear=lambda x: x)
 
 
 def _rnd(x: int, m: int) -> int:

@@ -473,10 +473,13 @@ def compact_hits(
     return starts, stream_ids, valid, n_dropped
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(jax.jit, static_argnums=(2, 3))
 def compact_hit_list(
-    starts: jnp.ndarray, valid: jnp.ndarray, capacity: int
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    starts: jnp.ndarray,
+    valid: jnp.ndarray,
+    capacity: int,
+    return_indices: bool = False,
+):
     """Compact a padded per-stream hit list ``[S, K]`` to a flat ``[G]``.
 
     The cheap two-level route to a global hit list: per-stream capacity K
@@ -492,7 +495,10 @@ def compact_hit_list(
     :param capacity: global hit budget G
     :returns: ``(starts [G] int32, stream_ids [G] int32, valid_out [G]
         bool, n_dropped int32)`` — valid hits in stream-major order;
-        overflow beyond G is dropped and counted, never silent.
+        overflow beyond G is dropped and counted, never silent.  With
+        ``return_indices=True``, a fifth element ``idx [G] int32`` — each
+        kept hit's flat slot index into the padded ``[S*K]`` layout
+        (zeroed where invalid) for scattering results back.
     """
     s, k = starts.shape
     flat = valid.reshape(-1)
@@ -506,12 +512,13 @@ def compact_hit_list(
     ).astype(jnp.int32)
     total = jnp.sum(flat.astype(jnp.int32))
     n_dropped = jnp.maximum(total - capacity, 0)
-    return (
+    out = (
         out_starts,
         jnp.where(valid_out, stream_ids, 0).astype(jnp.int32),
         valid_out,
         n_dropped,
     )
+    return out + (idx.astype(jnp.int32),) if return_indices else out
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))

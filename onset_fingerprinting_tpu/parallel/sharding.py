@@ -416,9 +416,11 @@ def make_detect_fingerprint_sharded(
     inside ONE ``shard_map`` program (the multi-chip form of ``bench.py``'s
     fused dispatch; reference serving path model.py:443-629).
 
-    Returns ``run(x, model_params) -> (preds, starts, valid)`` — a jitted
-    callable to REUSE across calls (rebuilding it per call would retrace
-    the whole pipeline each time).
+    Returns ``run(x, model_params) -> (preds, starts, valid, n_dropped)``
+    — a jitted callable to REUSE across calls (rebuilding it per call
+    would retrace the whole pipeline each time).  ``n_dropped`` is an
+    ``[n_devices] int32`` per-device count of hits beyond the compaction
+    budget (all zeros when compaction is off — no silent caps).
 
     ``compact_capacity`` (per device) switches the gather+model stage to
     the globally compacted hit list (``ops/windows.py::compact_hit_list``
@@ -426,9 +428,10 @@ def make_detect_fingerprint_sharded(
     real hits instead of ``per_dev*capacity`` padded slots — measured
     1.4x faster fingerprinting at the single-chip bench operating point —
     and predictions are scattered back into the padded ``[S, capacity]``
-    output layout, so the return contract is IDENTICAL.  Hits beyond the
-    budget are dropped zero-masked (size the budget generously; the
-    per-stream ``capacity`` already bounds the worst-case stream).
+    output layout, so the rest of the return contract is IDENTICAL.  Hits
+    beyond the budget are dropped zero-masked, flagged invalid, and
+    counted in ``n_dropped`` (size the budget generously; the per-stream
+    ``capacity`` already bounds the worst-case stream).
 
     :param shape: the input shape ``x.shape`` the callable will serve —
         ``layout='stream'``: ``[S, T, C]`` sharded over the first axis
@@ -446,6 +449,7 @@ def make_detect_fingerprint_sharded(
     from jax import shard_map
 
     from onset_fingerprinting_tpu.ops.windows import (
+        compact_hit_list,
         gather_block_windows,
         gather_hit_windows,
         top_hit_blocks,
@@ -499,36 +503,33 @@ def make_detect_fingerprint_sharded(
         on, deltas = detect_wide(wide)
         starts, valid = top_hit_blocks(on, bsz, per_dev, capacity)
         if compact_capacity is not None:
-            # compacted route: gather + model over real hits only, then
-            # scatter predictions back into the padded [S, K] layout
-            g = compact_capacity
+            # compacted route: gather + model over real hits only
+            # (ops/windows.py::compact_hit_list — the single source of the
+            # compaction contract), then scatter predictions back into the
+            # padded [S, K] layout.  Overflow beyond the budget is COUNTED
+            # and returned, never silent.
             n_slots = per_dev * capacity
-            (idx,) = jnp.nonzero(
-                valid.reshape(-1), size=g, fill_value=n_slots
+            sts, sids, ok, n_dropped, idx = compact_hit_list(
+                starts, valid, compact_capacity, return_indices=True
             )
-            ok = idx < n_slots
-            idx0 = jnp.where(ok, idx, 0)
-            sids = (idx0 // capacity).astype(jnp.int32)
-            sts = jnp.where(
-                ok, starts.reshape(-1)[idx0], 0
-            ).astype(jnp.int32)
             windows = gather_hit_windows(
                 wide, sts, sids, c, window, pre, gather_backend,
                 False, gather_prec,
             )  # [G, c, W]
             p = model.apply(mp, windows)
             p = jnp.where(ok[:, None], p, 0.0)
+            scatter = jnp.where(ok, idx, n_slots)
             preds = jnp.zeros(
                 (n_slots, p.shape[-1]), p.dtype
-            ).at[jnp.where(ok, idx, n_slots)].set(p, mode="drop")
+            ).at[scatter].set(p, mode="drop")
             preds = preds.reshape(per_dev, capacity, -1)
             # slots beyond the compact budget stay zero AND are reported
             # invalid, so overflow is visible to the caller
-            kept = jnp.zeros((n_slots,), bool).at[
-                jnp.where(ok, idx, n_slots)
-            ].set(True, mode="drop")
+            kept = jnp.zeros((n_slots,), bool).at[scatter].set(
+                True, mode="drop"
+            )
             valid = valid & kept.reshape(per_dev, capacity)
-            return preds, starts, valid
+            return preds, starts, valid, n_dropped[None]
         windows = gather_block_windows(
             wide, starts, c, window, pre, gather_backend,
             False, gather_prec,
@@ -538,7 +539,7 @@ def make_detect_fingerprint_sharded(
         )
         preds = preds.reshape(per_dev, capacity, -1)
         preds = jnp.where(valid[..., None], preds, 0.0)
-        return preds, starts, valid
+        return preds, starts, valid, jnp.zeros((1,), jnp.int32)
 
     if layout == "wide":
 
@@ -558,7 +559,9 @@ def make_detect_fingerprint_sharded(
             per_shard,
             mesh=mesh,
             in_specs=(in_spec, P()),
-            out_specs=P(axis),
+            # preds/starts/valid stack over the axis; the per-shard [1]
+            # drop counts concatenate to [n_devices]
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
             check_vma=False,
         )
     )
@@ -586,8 +589,10 @@ def detect_fingerprint_sharded(
     serving calls, build the pipeline once and reuse it.
 
     :returns: ``(preds [S, capacity, out], starts [S, capacity] int32,
-        valid [S, capacity] bool)`` — zero-masked predictions per detected
-        hit.
+        valid [S, capacity] bool, n_dropped [n_devices] int32)`` —
+        zero-masked predictions per detected hit; ``n_dropped`` counts
+        compaction-budget overflow per device (zeros unless
+        ``compact_capacity`` is set and exceeded).
     """
     run = make_detect_fingerprint_sharded(
         static, params, state, tuple(x.shape), mesh, model, **kwargs

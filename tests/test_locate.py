@@ -410,6 +410,28 @@ class TestCalibration:
         preds = np.asarray(model(jnp.asarray(lags, jnp.float32)))
         assert np.mean(np.abs(preds - sounds[:, :2])) < 0.05
 
+    def test_train_location_model_chunked_returns_best_params(self):
+        """epochs_per_step>1 must return params whose ACTUAL loss matches
+        the tracked best: best-tracking pairs each snapshot with the loss
+        evaluated AT those params (end-of-chunk), never a mid-chunk
+        minimum the snapshot can't reproduce (regression: the chunked
+        path once paired the chunk-min loss with post-chunk params — up
+        to k-1 updates past the optimum, at a warm-restart LR spike)."""
+        rng = np.random.default_rng(1)
+        lags = rng.normal(size=(48, 4)).astype(np.float32)
+        truth = lags @ rng.normal(size=(4, 2)).astype(np.float32) * 0.05
+        model, errors = train_location_model(
+            lags, truth, lr=0.02, num_epochs=240, patience=240,
+            epochs_per_step=40, hidden_layers=[16],
+        )
+        final = float(
+            np.mean(np.abs(np.asarray(model(jnp.asarray(lags))) - truth))
+        )
+        # the returned params must reproduce reported-quality loss: no
+        # worse than a small factor over the best per-epoch loss seen
+        assert final <= max(2.0 * float(np.min(errors)), 1e-4)
+        assert final <= float(errors[0])
+
 
 class TestCCRefinement:
     def test_locate_with_rec_audio_refines_jittered_onsets(self):

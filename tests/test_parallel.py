@@ -302,12 +302,15 @@ class TestDetectFingerprintSharded:
         mp = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, C, W), jnp.float32)
         )
-        preds, starts, valid = detect_fingerprint_sharded(
+        preds, starts, valid, dropped = detect_fingerprint_sharded(
             static, params, state, jnp.asarray(streams), mesh, model, mp,
             window=W, pre=32, capacity=K,
         )
         preds, starts, valid = map(np.asarray, (preds, starts, valid))
         assert valid.any()
+        # non-compacted route: drop counts exist and are all zero
+        assert np.asarray(dropped).shape == (mesh.devices.size,)
+        assert not np.asarray(dropped).any()
         # per-stream reference: unsharded detect + same gather + same model
         for s in range(S):
             _, (on, d, _) = detect_offline(
@@ -327,7 +330,7 @@ class TestDetectFingerprintSharded:
 
         # wide (zero-transpose) layout must match the stream layout
         wide = np.moveaxis(streams, 0, 1).reshape(T, S * C)
-        preds_w, starts_w, valid_w = detect_fingerprint_sharded(
+        preds_w, starts_w, valid_w, _ = detect_fingerprint_sharded(
             static, params, state, jnp.asarray(wide), mesh, model, mp,
             window=W, pre=32, capacity=K, layout="wide",
             channels_per_stream=C,
@@ -337,7 +340,7 @@ class TestDetectFingerprintSharded:
         np.testing.assert_allclose(np.asarray(preds_w), preds, atol=1e-6)
 
         # compacted gather+model route: identical padded output contract
-        preds_c, starts_c, valid_c = detect_fingerprint_sharded(
+        preds_c, starts_c, valid_c, dropped_c = detect_fingerprint_sharded(
             static, params, state, jnp.asarray(streams), mesh, model, mp,
             window=W, pre=32, capacity=K,
             compact_capacity=K * S,  # ample: no drops
@@ -345,14 +348,20 @@ class TestDetectFingerprintSharded:
         np.testing.assert_array_equal(np.asarray(valid_c), valid)
         np.testing.assert_array_equal(np.asarray(starts_c), starts)
         np.testing.assert_allclose(np.asarray(preds_c), preds, atol=1e-5)
+        assert not np.asarray(dropped_c).any()
 
-        # under-budget compaction: overflow slots masked invalid, not
-        # silently zero-predicted as valid
-        preds_u, _, valid_u = detect_fingerprint_sharded(
+        # under-budget compaction: overflow slots masked invalid AND
+        # counted per device, not silently zero-predicted as valid
+        preds_u, _, valid_u, dropped_u = detect_fingerprint_sharded(
             static, params, state, jnp.asarray(streams), mesh, model, mp,
             window=W, pre=32, capacity=K, compact_capacity=1,
         )
         valid_u = np.asarray(valid_u)
+        # every device's overflow beyond its 1-slot budget is counted
+        per_dev_hits = valid.reshape(mesh.devices.size, -1).sum(axis=1)
+        np.testing.assert_array_equal(
+            np.asarray(dropped_u), np.maximum(per_dev_hits - 1, 0)
+        )
         # per device at most 1 hit kept
         n_dev = mesh.devices.size
         per_dev = S // n_dev
