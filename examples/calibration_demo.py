@@ -93,8 +93,10 @@ def main():
 
     preds = np.asarray(model(jnp.asarray(lags, jnp.float32)))
     err_mm = np.linalg.norm(preds - sounds[:, :2], axis=1).mean() * 1000
-    print(f"  FCNN mean location error: {err_mm:.2f} mm "
-          f"(reference best ≈ 2.6 mm, refresh.org:1687-1726)")
+    print(f"  FCNN mean location error: {err_mm:.2f} mm on the TRAIN set "
+          f"— the metric the reference reports (its 2.6 mm is final "
+          f"train L1, refresh.org:1687-1726); held-out accuracy is "
+          f"measured in examples/fingerprint_capability_demo.py")
 
     print("stage 4: persist + reload setup …")
     with tempfile.TemporaryDirectory() as td:

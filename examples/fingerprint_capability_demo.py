@@ -88,28 +88,20 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         folder = Path(td)
         synth_location_session(folder, n_hits=args.hits, sr=SR, seed=0)
-        # train set: shift augmentation, 4 extraction rounds (data.py:273)
-        train_ds = MCPOSD.from_file(folder, "combined0", W, 8, 16, 4)
+        # HIT-LEVEL holdout (MCPOSD.split_hits): a held-out hit
+        # contributes NO window (in any augmentation round) to training —
+        # a window split would leak every test hit into training via its
+        # shifted copies and measure memorization, not generalization.
+        # Train: shift augmentation, 4 extraction rounds (data.py:273);
+        # eval: exact single extraction of the held-out hits.
+        full_ds = MCPOSD.from_file(folder, "combined0", W, 8, 16, 4)
+        train_ds, eval_ds = full_ds.split_hits(0.75, seed=1)
         xt, yt = train_ds[0]
-        # val/test: exact extraction
-        eval_ds = MCPOSD.from_file(folder, "combined0", W, 8, 0, 1)
-    x_all = np.asarray(xt)
-    y_all = np.asarray(yt)
-    x_exact = np.asarray(eval_ds.x)
-    y_exact = np.asarray(eval_ds.y)
-    # HIT-LEVEL holdout: a held-out hit contributes NO window (in any
-    # augmentation round) to training — splitting windows instead would
-    # leak every test hit into training via its shifted copies and measure
-    # memorization, not generalization
-    n = args.hits
-    heldout = np.zeros(n, bool)
-    heldout[np.random.default_rng(1).permutation(n)[: max(n // 4, 2)]] = True
-    keep = np.tile(~heldout, 4)  # 4 extraction rounds, y tiled in order
-    x_train, y_train = x_all[keep], y_all[keep]
-    hid = np.flatnonzero(heldout)
-    val_ids, test_ids = hid[: len(hid) // 2], hid[len(hid) // 2 :]
-    val = (x_exact[val_ids], y_exact[val_ids])
-    test = (x_exact[test_ids], y_exact[test_ids])
+        val_ds, test_ds = eval_ds.split(0.5, seed=1)
+        x_train = np.asarray(xt)
+        y_train = np.asarray(yt)
+        val = (np.asarray(val_ds.x), np.asarray(val_ds.y))
+        test = (np.asarray(test_ds.x), np.asarray(test_ds.y))
     print(
         f"fixture: {args.hits} hits -> train {x_train.shape} "
         f"val {val[0].shape} test {test[0].shape} "

@@ -107,12 +107,44 @@ def synth_zone_session(rng, zone: str, n_hits: int):
 
 
 def mfcc_transform(audio: np.ndarray, posd: POSD) -> np.ndarray:
-    """POSD transform hook: onset-anchored MFCCs (data.py:338 example)."""
+    """POSD transform hook: onset-anchored MFCCs (data.py:338 example).
+
+    Kept as the reference-parity transform; NOT the demo default because
+    this fixture's mode spacings (~76-83 Hz at F0=140) sit below the
+    frequency resolution of short mel-spaced frames, so MFCCs physically
+    cannot separate adjacent zones here (measured ~51% hit-held-out vs
+    ~78% for :func:`modal_transform`)."""
     spec = onset_stft(
         jnp.asarray(audio), posd.pre_samples, frame_length=256,
         hop_length=64, n_fft=512, method="zerozero",
     )
     return np.asarray(cspec_to_mfcc(spec, sr=SR))
+
+
+def modal_transform(audio: np.ndarray, posd: POSD) -> np.ndarray:
+    """POSD transform hook: multi-scale log-spectra over the modal band.
+
+    Three rows per hit — the full 2048-sample window (21 ms → ~47 Hz
+    resolution, enough for the 76-83 Hz mode spacings) plus its two
+    halves (decay information: the fixture's mode time constants scale
+    with (1+r), so edge hits ring ~2x longer than center hits) — each
+    restricted to 80-900 Hz and per-row normalized (kills the 5x
+    velocity scale).  The zone signal lives in relative mode amplitudes
+    J_m(alpha_mn r) and decay rates; these features resolve both."""
+    x = audio.astype(np.float64)
+    f = np.fft.rfftfreq(16384, 1.0 / SR)
+    sel = (f >= 80.0) & (f <= 900.0)
+    w = x.shape[1]
+    rows = []
+    for s in (x, x[:, : w // 2], x[:, w // 2 :]):
+        spec = np.abs(np.fft.rfft(s * np.hanning(s.shape[1]), n=16384,
+                                  axis=1))
+        r = np.log1p(50.0 * spec[:, sel])
+        r = (r - r.mean(axis=1, keepdims=True)) / (
+            r.std(axis=1, keepdims=True) + 1e-6
+        )
+        rows.append(r)
+    return np.stack(rows, axis=1).astype(np.float32)  # [N, 3, bins]
 
 
 def main():
@@ -126,29 +158,47 @@ def main():
         *(synth_zone_session(rng, z, args.hits) for z in ZONES)
     )
     ds = POSD.from_audio_onsets(
-        list(audios), list(onsets), sr=SR, frame_length=1024,
-        pre_samples=64, zone_names=ZONES, n_rounds_aug=2,
-        transform=mfcc_transform,
+        list(audios), list(onsets), sr=SR, frame_length=2048,
+        pre_samples=16, zone_names=ZONES, n_rounds_aug=3,
+        transform=modal_transform,
     )
-    x = ds.audio.astype(np.float32)  # [N, n_mfcc, frames]
+    x = ds.audio.astype(np.float32)  # [N, 3 scales, spectral bins]
     zone_idx = {z: i for i, z in enumerate(ZONES)}
     y = ds.labels["zone"].map(zone_idx).to_numpy().astype(np.int64)
     print(f"dataset: {x.shape[0]} examples of shape {x.shape[1:]} "
-          f"(MFCC features), zones {ZONES}")
+          f"(multi-scale modal spectra), zones {ZONES}")
 
-    idx = rng.permutation(len(x))
-    x, y = x[idx], y[idx]
-    split = int(0.75 * len(x))
+    # HIT-LEVEL holdout: from_audio_onsets lays out each zone's rows as
+    # [exact hits 0..n) | aug round 1 hits 0..n) | aug round 2 ...] — a
+    # window-level split would leak augmented copies of test hits into
+    # training.  A held-out hit contributes NO row (exact or augmented)
+    # to training, and is evaluated on its EXACT row only.
+    n = args.hits
+    rounds = 1 + ds.n_rounds_aug  # exact + augmented rows per hit
+    per = rounds * n
+    hit_id = np.concatenate(
+        [z * n + (np.arange(per) % n) for z in range(len(ZONES))]
+    )
+    exact = np.concatenate(
+        [np.arange(per) < n for _ in range(len(ZONES))]
+    )
+    n_total = n * len(ZONES)
+    held = np.zeros(n_total, bool)
+    held[rng.permutation(n_total)[: n_total // 4]] = True
+    tr, te = ~held[hit_id], held[hit_id] & exact
+    print(f"hit-level split: {int((~held).sum())} train hits "
+          f"({int(tr.sum())} rows incl. augmentation), "
+          f"{int(held.sum())} held-out hits")
 
     trainer = Trainer(
-        CNN(output_size=len(ZONES), layer_sizes=[24, 24], kernel_size=3,
-            dropout_rate=0.15),
-        TrainConfig(lr=2e-3, num_epochs=400, patience=400, loss="xent",
+        CNN(output_size=len(ZONES), layer_sizes=[32, 32, 32], kernel_size=7,
+            dropout_rate=0.2),
+        TrainConfig(lr=2e-3, num_epochs=700, patience=700, loss="xent",
                     batch_size=32),
     )
-    state = trainer.fit((x[:split], y[:split]))
-    yt = y[split:]
-    logits = trainer.predict(state, x[split:])
+    state = trainer.fit((x[tr], y[tr]))
+    yt = y[te]
+    logits = trainer.predict(state, x[te])
     yp = np.asarray(jnp.argmax(logits, axis=-1))
     acc = float((yp == yt).mean())
 

@@ -50,6 +50,11 @@ class MCPOSD:
         if channels is not None:
             data = data[:, list(channels)]
         self.data = data
+        self._onsets = np.asarray(onsets)
+        self._positions = np.asarray(sound_positions)
+        self._frame_length = frame_length
+        self._pre_samples = pre_samples
+        self._max_shift = max_shift
         self.frame_extractor = FastFrameExtractor(
             data, onsets, frame_length, pre_samples, max_shift
         )
@@ -119,7 +124,15 @@ class MCPOSD:
         return ds
 
     def split(self, r: float = 0.8, seed: int = 0):
-        """Random train/val split (data.py:321-327)."""
+        """Random WINDOW-level train/val split (data.py:321-327).
+
+        .. warning:: only leakage-safe when each hit contributes exactly
+            one window (``n_extractions == 1``, ``max_shift == 0``).
+            With shift-augmented multi-extraction datasets, use
+            :meth:`split_hits` — a window split puts shifted copies of
+            the same hit on both sides and evaluation then measures
+            memorization, not generalization.
+        """
         n = len(self.y)
         idx = np.random.default_rng(seed).permutation(n)
         cut = int(n * r)
@@ -127,6 +140,33 @@ class MCPOSD:
             self.from_xy(self.x[idx[:cut]], self.y[idx[:cut]]),
             self.from_xy(self.x[idx[cut:]], self.y[idx[cut:]]),
         )
+
+    def split_hits(self, r: float = 0.8, seed: int = 0):
+        """HIT-level train/eval split — the leakage-safe one.
+
+        Every extraction round of a hit lands on the same side: the train
+        set keeps this dataset's shift/multi-extraction settings over its
+        hit subset, while the eval set extracts its held-out hits EXACTLY
+        ONCE with no shift (the evaluation contract).  Only available on
+        datasets that carry raw audio (not :meth:`from_xy` views).
+
+        :param r: fraction of hits to train on
+        :returns: ``(train MCPOSD, eval MCPOSD)`` over disjoint hits
+        """
+        n = len(self._onsets)
+        idx = np.random.default_rng(seed).permutation(n)
+        cut = int(n * r)
+        tr, ev = np.sort(idx[:cut]), np.sort(idx[cut:])
+        train = MCPOSD(
+            self.data, self._onsets[tr], self._positions[tr],
+            self._frame_length, self._pre_samples, self._max_shift,
+            self.n_extractions,
+        )
+        evald = MCPOSD(
+            self.data, self._onsets[ev], self._positions[ev],
+            self._frame_length, self._pre_samples, 0, 1,
+        )
+        return train, evald
 
 
 class POSD:

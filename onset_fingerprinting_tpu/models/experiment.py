@@ -61,13 +61,21 @@ def run_location_hpo(
     seed: int = 0,
     mesh=None,
 ) -> Study:
-    """Full pipeline: MCPOSD load → subsampled train / val / test split →
-    HPO study over CCCNN configs → best hp_metric (train.py:22-145)."""
+    """Full pipeline: MCPOSD load → hit-level train / val / test split →
+    HPO study over CCCNN configs → best hp_metric (train.py:22-145).
+
+    The split is at HIT level (``MCPOSD.split_hits``): a held-out hit
+    contributes NO window (in any shift-augmentation round) to training —
+    splitting windows would leak every evaluation hit into training via
+    its shifted copies and report memorization, not generalization.
+    """
     dataset = MCPOSD.from_file(folder, name, w, pre_samples, 16, 4)
-    x, y = dataset[0]
+    train_ds, eval_ds = dataset.split_hits(0.8, seed=seed)
+    x, y = train_ds[0]
     train = (np.asarray(x)[::subsample], np.asarray(y)[::subsample])
-    test_dataset = MCPOSD.from_file(folder, name, w, 0, 0, 1)
-    val_ds, test_ds = test_dataset.split(0.1, seed=seed)
+    # eval_ds extracts held-out hits exactly once → its window split IS a
+    # hit split
+    val_ds, test_ds = eval_ds.split(0.5, seed=seed)
     val = (np.asarray(val_ds.x), np.asarray(val_ds.y))
     test = (np.asarray(test_ds.x), np.asarray(test_ds.y))
 

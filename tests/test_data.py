@@ -157,6 +157,32 @@ class TestMCPOSD:
         x, y = ds[0]
         assert x.shape[0] == 12 and y.shape[0] == 12
 
+    def test_split_hits_is_hit_disjoint(self, tmp_path, rng):
+        """split_hits: no held-out hit contributes ANY window (in any
+        augmentation round) to the train side — the leakage-safe split
+        for shift-augmented datasets."""
+        _write_session(tmp_path, rng, n=80000, n_hits=10)
+        ds = MCPOSD.from_file(
+            tmp_path, "sess", frame_length=64, max_shift=4, n_extractions=3
+        )
+        tr, ev = ds.split_hits(0.8, seed=0)
+        # disjoint hit partitions of the 10 onsets
+        assert len(tr._onsets) == 8 and len(ev._onsets) == 2
+        assert not set(tr._onsets) & set(ev._onsets)
+        # train keeps the augmentation settings (3 rounds of 8 hits);
+        # eval extracts exactly once, unshifted
+        xt, yt = tr[0]
+        assert xt.shape[0] == 24 and yt.shape[0] == 24
+        xe, ye = ev[0]
+        assert xe.shape[0] == 2 and ye.shape[0] == 2
+        # eval targets are the held-out hits' positions
+        full_y = np.asarray(MCPOSD.from_file(
+            tmp_path, "sess", frame_length=64
+        )[0][1])
+        mask = np.isin(np.arange(10), np.searchsorted(
+            np.asarray(ds._onsets), np.asarray(ev._onsets)))
+        np.testing.assert_allclose(np.asarray(ye), full_y[mask])
+
 
 class TestPOSD:
     def test_classification_dataset(self, tmp_path, rng):
