@@ -43,6 +43,20 @@ WINDOW = 256  # reference flagship window (train.py:27 w=256)
 PRE = 64  # samples before the onset in the fingerprint window
 MAX_HITS = 16  # fixed per-stream hit capacity per second of audio
 
+# Injected hit grid — the SINGLE source of truth shared by make_audio, the
+# capacity sizing, the correctness gate, and examples/fingerprint_anatomy.py.
+# Onsets at HIT_FIRST + k*HIT_PERIOD; a burst is injected only if it fully
+# fits (onset + BURST_LEN + BURST_MARGIN <= t).
+HIT_FIRST = 5000
+HIT_PERIOD = 9600  # one hit every 100 ms @ 96 kHz
+BURST_LEN = 600
+BURST_MARGIN = 100
+
+
+def n_injected(t: int) -> int:
+    """Number of injected onsets per stream in ``t`` samples."""
+    return max((t - HIT_FIRST - BURST_LEN - BURST_MARGIN) // HIT_PERIOD + 1, 0)
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
@@ -51,23 +65,25 @@ def log(*args):
 def make_audio(t: int, c: int, seed: int = 0):
     """Synthesize the bench workload ON DEVICE (a [1 s, C=8192] f32 array
     pushed through the axon tunnel takes minutes; jax.random on chip takes
-    milliseconds).  Hits every 100 ms so detection + fingerprinting do real
-    work."""
+    milliseconds).  Hits every HIT_PERIOD samples so detection +
+    fingerprinting do real work."""
     import jax
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(seed)
     x = jax.random.normal(key, (t, c), jnp.float32) * 1e-3
-    tt = jnp.arange(600)
+    tt = jnp.arange(BURST_LEN)
     burst = (
         jnp.sin(2 * jnp.pi * 5000 / SR * tt) * jnp.exp(-tt / 150) * 0.5
     )
-    pattern = jnp.concatenate([burst, jnp.zeros(9600 - 600)])
-    idx = jnp.arange(t) - 5000
-    phase = jnp.mod(idx, 9600)
-    # bursts at 5000 + 9600k, k such that the burst fits before t-700
+    pattern = jnp.concatenate([burst, jnp.zeros(HIT_PERIOD - BURST_LEN)])
+    idx = jnp.arange(t) - HIT_FIRST
+    phase = jnp.mod(idx, HIT_PERIOD)
+    # bursts at HIT_FIRST + k*HIT_PERIOD for k in [0, n_injected(t));
+    # idx - phase is the burst's start relative to HIT_FIRST
+    fit = t - (HIT_FIRST + BURST_LEN + BURST_MARGIN)
     profile = jnp.where(
-        (idx >= 0) & (idx - phase < t - 5700), pattern[phase], 0.0
+        (idx >= 0) & (idx - phase <= fit), pattern[phase], 0.0
     )
     return x + profile[:, None]
 
@@ -220,8 +236,7 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     max_hits = max(-(-MAX_HITS // chunks), 4)
     # global compacted hit budget: 1.33x headroom over the injected rate,
     # rounded up to a lane multiple (overflow is counted and failed on)
-    t_chunk = SR // chunks
-    exp_per_stream = (t_chunk - 5701) // 9600 + 1
+    exp_per_stream = n_injected(SR // chunks)
     global_capacity = -(-(n_streams * exp_per_stream * 4 // 3) // 128) * 128
     if os.environ.get("OFPTPU_BENCH_COMPACT", "1") != "1":
         global_capacity = None
@@ -245,12 +260,12 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     def correctness(on):
         """Detection precision/recall against the injected hit grid
         (the reference's harness checks correctness AND speed together,
-        c/test.py:24-46).  Injected onsets: 5000 + 9600k, k in [0, 10).
+        c/test.py:24-46).  Injected onsets: HIT_FIRST + HIT_PERIOD*k.
         A detected hit block is a true positive iff it lies within ``tol``
         of the grid (same-burst adjacent-block fires count as duplicates,
         not spurious); recall counts DISTINCT injected onsets matched."""
-        period, first, tol = 9600, 5000, 512
-        n_exp = (t - 5701) // period + 1  # bursts fitting before t-5700
+        period, first, tol = HIT_PERIOD, HIT_FIRST, 512
+        n_exp = n_injected(t)
         starts, valid = top_hit_blocks(
             on, cfg.block_size, n_streams, max_hits
         )
@@ -283,7 +298,7 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
             f"(capacity {global_capacity})"
         )
     n_tp, n_spur, n_matched = (int(v) for v in correctness(on))
-    n_expected = n_streams * ((t - 5701) // 9600 + 1)
+    n_expected = n_streams * n_injected(t)
     precision = n_tp / max(n_tp + n_spur, 1)
     recall = n_matched / n_expected
     log(
@@ -386,49 +401,16 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     }
 
 
-def _await_healthy_backend(max_wait_s: float, probe_timeout: float = 120.0):
-    """Refuse to hang on a wedged accelerator transport.
-
-    ``jax.devices()`` does not merely raise when the accelerator plugin's
-    transport is broken — it can BLOCK indefinitely (observed live on the
-    axon tunnel).  Probe backend init in throwaway subprocesses under a
-    hard timeout, retrying up to ``max_wait_s`` (a wedged tunnel often
-    recovers once the server-side job blocking it finishes); return True
-    once a probe succeeds, False if the wait budget runs out — so the
-    driver records a clean failure it can retry instead of a hang.
-    """
-    import subprocess
-
-    deadline = time.monotonic() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        t0 = time.monotonic()
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", "import jax; print(jax.devices())"],
-                capture_output=True,
-                text=True,
-                timeout=probe_timeout,
-            )
-            if out.returncode == 0:
-                return True
-            err = out.stderr.strip().splitlines()
-            log(f"backend probe {attempt} failed: {err[-1] if err else '?'}")
-        except subprocess.TimeoutExpired:
-            log(
-                f"backend probe {attempt} hung >{probe_timeout:.0f}s "
-                "(wedged transport?)"
-            )
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            return False
-        time.sleep(min(max(60 - (time.monotonic() - t0), 5), remaining))
-
-
 def main() -> int:
+    # refuse to hang on a wedged accelerator transport: probe backend init
+    # in throwaway subprocesses under a hard timeout, retrying up to the
+    # wait budget (core/backend_probe.py — shared with __graft_entry__.py)
+    from onset_fingerprinting_tpu.core.backend_probe import (
+        await_healthy_backend,
+    )
+
     probe_wait = float(os.environ.get("OFPTPU_BENCH_PROBE_WAIT", "1800"))
-    if probe_wait > 0 and not _await_healthy_backend(probe_wait):
+    if probe_wait > 0 and not await_healthy_backend(probe_wait, log=log):
         log(
             "FATAL: no healthy jax backend within "
             f"{probe_wait:.0f}s — refusing to hang; rerun when the "
@@ -460,13 +442,15 @@ def main() -> int:
     if os.environ.get("OFPTPU_BENCH_SWEEP") == "1":
         # C=16384 (4096 streams) exceeds HBM as ONE 1-second dispatch;
         # carried-state time-chunking (chunks=2) bounds peak HBM at half a
-        # second and extends the sweep past the old ceiling
-        for s, chunks in ((256, 1), (512, 1), (1024, 1), (2048, 1),
-                          (4096, 2)):
-            r = bench_width(s, n_iter=5, chunks=chunks)
-            rt = s / (r["total_ms_median"] / 1e3)
+        # second and extends the sweep past the old ceiling.  (Loop vars
+        # deliberately distinct from the headline's n_streams/chunks — a
+        # shadow here once silently demoted the headline run to chunks=2.)
+        for s_str, s_chk in ((256, 1), (512, 1), (1024, 1), (2048, 1),
+                             (4096, 2)):
+            r = bench_width(s_str, n_iter=5, chunks=s_chk)
+            rt = s_str / (r["total_ms_median"] / 1e3)
             log(
-                f"sweep C={r['c']} (chunks={chunks}): "
+                f"sweep C={r['c']} (chunks={s_chk}): "
                 f"detect {r['detect_ms']:.1f} ms + "
                 f"fingerprint {r['fingerprint_ms']:.1f} ms per s-audio "
                 f"→ {rt:.0f}x realtime"

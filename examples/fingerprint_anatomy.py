@@ -70,13 +70,16 @@ def main():
     )
     from onset_fingerprinting_tpu.ops.xcorr import batch_self_correlate_dft
 
+    from bench import HIT_FIRST, HIT_PERIOD, n_injected
+
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (T, C), jnp.float32)
-    # synthetic dense events at the bench hit rate: 3 hits/stream/chunk
+    # synthetic dense events at the bench hit rate (bench.py's injected
+    # hit grid — single source of truth for the magic numbers)
     nb = T // 128
     on_np = np.zeros((nb, C), bool)
-    for kk in range(3):
-        on_np[(5000 + 9600 * kk) // 128, :: CPS] = True
+    for kk in range(n_injected(T)):
+        on_np[(HIT_FIRST + HIT_PERIOD * kk) // 128, :: CPS] = True
     on = jnp.asarray(on_np)
     starts_pad, valid_pad = jax.jit(
         top_hit_blocks, static_argnums=(1, 2, 3)

@@ -132,7 +132,11 @@ def main():
         else "negative control: no learnable waveform signal — expect the "
         "predict-mean floor (~5.5-6.7 cm)"
     )
-    print(f"best test L1: {study.best_value:.3f} cm ({note})")
+    # selection on VAL; the test number reported belongs to the selected
+    # trial (never min-over-trials of the test metric)
+    test_l1 = study.best_trial.user_attrs.get("test_l1", float("nan"))
+    print(f"best val L1: {study.best_value:.3f} cm ({note})")
+    print(f"test L1 of the selected trial: {test_l1:.3f} cm")
     print(f"best params: {study.best_params}")
     states = [t.state for t in study.results]
     print(f"trial states: {states}")

@@ -401,7 +401,11 @@ def detect_offline_chunked(
     :returns: ``(final_state, (on [nb, C], deltas [nb, C], rel [T, C] or
         None))`` as host arrays
     """
-    x = np.asarray(x)
+    if not isinstance(x, jax.Array):
+        # host audio; device arrays stay resident — np.asarray here would
+        # pull the whole recording through the (slow) device transport and
+        # push it back chunk by chunk.  Device slices below run on-device.
+        x = np.asarray(x)
     bsz = static.block_size
     t = (x.shape[0] // bsz) * bsz
     x = x[:t]

@@ -119,7 +119,12 @@ def run_location_hpo(
             trial.report(monitor, step)
             if trial.should_prune():
                 raise TrialPruned()
-        return trainer.test(state, test)
+        # hyperparameter selection must never see the test set: the
+        # objective (what Study minimizes / best_params selects on) is the
+        # VAL metric; the TEST metric rides along as a user attr and is
+        # reported for the selected trial only
+        trial.set_user_attr("test_l1", trainer.test(state, test))
+        return trainer.test(state, val)
 
     study.optimize(objective, n_trials=n_trials, catch=(RuntimeError,))
     return study
@@ -128,5 +133,7 @@ def run_location_hpo(
 if __name__ == "__main__":  # pragma: no cover - CLI
     folder, name = sys.argv[1], sys.argv[2]
     study = run_location_hpo(folder, name)
-    print("best hp_metric:", study.best_value)
+    print("best val L1:", study.best_value)
+    print("test L1 of selected trial:",
+          study.best_trial.user_attrs.get("test_l1"))
     print("best params:", study.best_params)

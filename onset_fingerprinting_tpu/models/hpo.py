@@ -29,6 +29,13 @@ class Trial:
     study: "Study"
     params: dict = field(default_factory=dict)
     intermediate: dict = field(default_factory=dict)
+    user_attrs: dict = field(default_factory=dict)
+
+    def set_user_attr(self, name: str, value) -> None:
+        """Attach a side metric to the trial (optuna's set_user_attr) —
+        e.g. the TEST metric of a trial whose objective is the VAL metric,
+        so hyperparameter selection never sees the test set."""
+        self.user_attrs[name] = value
 
     def suggest_int(self, name: str, low: int, high: int, log: bool = False) -> int:
         if log:
@@ -82,6 +89,7 @@ class FrozenTrial:
     params: dict
     state: str  # "complete" | "pruned" | "failed"
     intermediate: dict
+    user_attrs: dict = field(default_factory=dict)
 
 
 class Study:
@@ -116,7 +124,7 @@ class Study:
             self.results.append(
                 FrozenTrial(
                     trial.number, value, dict(trial.params), state,
-                    dict(trial.intermediate),
+                    dict(trial.intermediate), dict(trial.user_attrs),
                 )
             )
 

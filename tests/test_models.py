@@ -168,6 +168,22 @@ class TestHPO:
         assert abs(study.best_params["x"] - 1) < 1.0
         assert study.best_value < 1.5
 
+    def test_user_attrs_ride_along(self):
+        """Side metrics (e.g. the test L1 of a val-selected trial) are
+        carried on the frozen trial, so selection never needs to touch
+        the test metric."""
+        study = Study(seed=0)
+
+        def objective(trial):
+            x = trial.suggest_float("x", 0, 1)
+            trial.set_user_attr("test_metric", 100 + x)
+            return x
+
+        study.optimize(objective, n_trials=3)
+        best = study.best_trial
+        assert best.user_attrs["test_metric"] == 100 + best.value
+        assert all("test_metric" in t.user_attrs for t in study.results)
+
     def test_pruning(self):
         study = Study(seed=0, n_startup_trials=1)
 
