@@ -10,9 +10,14 @@ from onset_fingerprinting_tpu.locate.trilateration import (
     trilaterate_batch,
 )
 from onset_fingerprinting_tpu.locate.multilaterate import (
+    LocatorConfig,
+    LocatorState,
     Multilaterate,
     Multilaterate3D,
     MultilateratePaired,
+    build_locator_tables,
+    locator_init,
+    make_locate_update,
 )
 from onset_fingerprinting_tpu.locate.calibration import (
     calibrate,
