@@ -142,6 +142,8 @@ class TrainConfig:
     seed: int = 0
     optimizer: str = "nadam"
     grad_clip: float = 1.0
+    #: L2 weight decay (optax.add_decayed_weights); 0 = off
+    weight_decay: float = 0.0
 
 
 @dataclass

@@ -108,7 +108,10 @@ class Trainer:
     def __post_init__(self):
         if self.optimizer is None:
             self.optimizer = make_optimizer(
-                self.cfg.optimizer, self.cfg.lr, grad_clip=self.cfg.grad_clip
+                self.cfg.optimizer,
+                self.cfg.lr,
+                grad_clip=self.cfg.grad_clip,
+                weight_decay=self.cfg.weight_decay,
             )
         self.loss_fn = LOSSES[self.cfg.loss]
         self.history: dict[str, list[float]] = {

@@ -102,6 +102,27 @@ class TestTrainer:
         pred = trainer.predict(state, x[:4])
         assert pred.shape == (4, 2)
 
+    def test_weight_decay_shrinks_params(self):
+        """TrainConfig.weight_decay reaches the optimizer: with lr>0 and
+        zero gradient signal (constant targets matching init output is
+        hard to arrange, so compare norms between wd=0 and wd=0.1 runs
+        instead — decay must leave strictly smaller weights)."""
+        x, y = _data(32, 3, 32)
+        model = CNN(output_size=2, layer_sizes=[4], kernel_size=3,
+                    dropout_rate=0.0)
+        cfg0 = TrainConfig(lr=1e-3, num_epochs=30, patience=30, loss="l1")
+        cfgd = TrainConfig(lr=1e-3, num_epochs=30, patience=30, loss="l1",
+                           weight_decay=0.1)
+        s0 = Trainer(model, cfg0).fit((x, y))
+        sd = Trainer(model, cfgd).fit((x, y))
+        n0 = sum(
+            float(jnp.sum(p**2)) for p in jax.tree.leaves(s0.params)
+        )
+        nd = sum(
+            float(jnp.sum(p**2)) for p in jax.tree.leaves(sd.params)
+        )
+        assert nd < n0 * 0.95
+
     def test_early_stopping(self):
         x, y = _data(16, 2, 16)
         cfg = TrainConfig(lr=0.0, num_epochs=500, patience=5, eps=1e-12)
