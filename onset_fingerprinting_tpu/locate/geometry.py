@@ -87,7 +87,14 @@ def attenuate_intensity(source_loc, mic_loc, reflectivity, intensity_at_source):
     dx = mic_loc[0] - jnp.reshape(source_loc[0], (-1,))
     dy = mic_loc[1] - jnp.reshape(source_loc[1], (-1,))
     dz = jnp.full_like(dx, mic_loc[2] - source_loc[2])
-    vec = jnp.stack([dx, dy, dz], axis=-1).astype(jnp.float64 if dx.dtype == jnp.float64 else jnp.float32)
+    # keep f64 only when x64 is actually enabled (asking for f64 under the
+    # default f32 config emits a truncation warning and silently downcasts)
+    import jax
+
+    use_f64 = dx.dtype == jnp.float64 and jax.config.jax_enable_x64
+    vec = jnp.stack([dx, dy, dz], axis=-1).astype(
+        jnp.float64 if use_f64 else jnp.float32
+    )
     distance = jnp.linalg.norm(vec, axis=-1)
     unit = vec / jnp.linalg.norm(vec, axis=-1, keepdims=True)
     thetas = jnp.arccos(unit @ jnp.array([0.0, 0.0, 1.0]))
