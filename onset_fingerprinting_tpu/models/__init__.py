@@ -7,3 +7,7 @@ from onset_fingerprinting_tpu.models.train import (
     Trainer,
     make_optimizer,
 )
+from onset_fingerprinting_tpu.models.torch_import import (
+    fcnn_variables_from_state_dict,
+    load_reference_setup,
+)

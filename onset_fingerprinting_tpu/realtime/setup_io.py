@@ -53,8 +53,21 @@ def save_setup(
 def load_setup(
     path: str | Path, json_name: str = "ml_conf.json", c: Optional[float] = None
 ):
-    """Returns (conf dict, FCNNBundle or None)."""
+    """Returns (conf dict, FCNNBundle or None).
+
+    Reads setups saved by :func:`save_setup` (orbax ``model_ckpt``) AND,
+    transparently, setup directories saved by the reference package
+    (``ml_conf.json`` + torch ``model.pt``, reference realtime/config.py:
+    63-84) — so a reference user's calibrated serve setup works here
+    without retraining (see ``models.torch_import``).
+    """
     path = Path(path)
+    if not (path / "model_ckpt").exists() and (path / "model.pt").exists():
+        from onset_fingerprinting_tpu.models.torch_import import (
+            load_reference_setup,
+        )
+
+        return load_reference_setup(path, json_name=json_name, c=c)
     conf = json.loads((path / json_name).read_text())
     conf["sensor_locations"] = np.asarray(conf["sensor_locations"])
     if c is not None:
