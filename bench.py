@@ -58,6 +58,14 @@ def n_injected(t: int) -> int:
     return max((t - HIT_FIRST - BURST_LEN - BURST_MARGIN) // HIT_PERIOD + 1, 0)
 
 
+class HitCapacityError(RuntimeError):
+    """The compacted hit list truncated real hits — a capacity-sizing bug.
+
+    Deliberately NOT caught by main()'s HBM/tunnel safety net: falling back
+    to a smaller operating point would convert a designed hard-fail
+    ("counted and failed on, never silent") into a green run."""
+
+
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
@@ -293,7 +301,7 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     t_fp_compile = time.perf_counter() - t0
     if int(n_dropped) > 0:
         # the compacted budget must never truncate the workload silently
-        raise RuntimeError(
+        raise HitCapacityError(
             f"compacted hit list dropped {int(n_dropped)} hits "
             f"(capacity {global_capacity})"
         )
@@ -458,6 +466,10 @@ def main() -> int:
 
     try:
         r = bench_width(n_streams, chunks=chunks)
+    except HitCapacityError:
+        # capacity truncation is a sizing BUG, not an environment failure —
+        # fail the run rather than masking it with a smaller shape
+        raise
     except Exception as e:  # pragma: no cover - HBM/tunnel safety net
         # never leave the driver without an artifact: fall back to the
         # conservative round-2 operating point (C=8192, one dispatch)

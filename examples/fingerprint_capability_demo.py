@@ -56,7 +56,7 @@ W = 256
 
 
 def pair_lags(x: np.ndarray) -> np.ndarray:
-    """CC argmax lag of every channel pair vs channel 0 and adjacent pairs.
+    """CC argmax lag of every unordered channel pair (all C(c,2) pairs).
 
     :param x: ``[N, C, W]`` onset windows
     :returns: ``[N, P]`` float lags in samples

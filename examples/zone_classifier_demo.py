@@ -171,7 +171,7 @@ def main():
         pre_samples=16, zone_names=ZONES, n_rounds_aug=3,
         transform=modal_transform,
     )
-    x = ds.audio.astype(np.float32)  # [N, 3 scales, spectral bins]
+    x = ds.audio.astype(np.float32)  # [N, 5 scales, spectral bins]
     zone_idx = {z: i for i, z in enumerate(ZONES)}
     y = ds.labels["zone"].map(zone_idx).to_numpy().astype(np.int64)
     print(f"dataset: {x.shape[0]} examples of shape {x.shape[1:]} "

@@ -382,7 +382,11 @@ def gather_block_windows(
             groups,
             dtype=slab.dtype,
         )
-        windows = jnp.einsum("skwgc,sg->skwc", slab, mask)
+        # honor the precision contract on the XLA path too: the default
+        # TPU einsum is one bf16 pass, which would silently quantize f32
+        # audio while the pallas path stays bit-exact
+        windows = jnp.einsum("skwgc,sg->skwc", slab, mask,
+                             precision=precision)
     else:
         # narrow fallback: per-channel row indices via take_along_axis
         starts_ch = jnp.repeat(
@@ -445,8 +449,12 @@ def compact_hits(
     this returns the first ``capacity`` hit blocks of the WHOLE batch in
     time order, each tagged with its stream.  Downstream cost (window
     gather + model) then scales with actual hit count, not with the
-    per-stream worst case (measured 3x on the bench operating point:
-    49152 padded slots -> 16384 for ~8192 real hits/chunk).
+    per-stream worst case.  The saving is the ratio of padded slots to the
+    real hit budget — at the shipped bench operating point (C=32768,
+    chunks=3) that is 49152 padded slots vs a 32768 global budget for
+    24576 real hits/chunk (1.5x); sparser fleets save proportionally more.
+    Size ``capacity`` from the expected hit rate WITH headroom — overflow
+    is counted, and the bench fails on it.
 
     :param on: ``[nb, S*cps]`` bool per-block fire flags
     :param block_size: detector block size in samples
@@ -579,7 +587,9 @@ def gather_hit_windows(
         mask = jax.nn.one_hot(
             stream_ids % groups, groups, dtype=slab.dtype
         )  # [N, groups]
-        windows = jnp.einsum("nwgc,ng->nwc", slab, mask)
+        # same precision contract as the pallas path (bit-exact at HIGHEST)
+        windows = jnp.einsum("nwgc,ng->nwc", slab, mask,
+                             precision=precision)
         return windows.transpose(0, 2, 1)
     # narrow fallback: direct row/col gather (host/CPU paths)
     rows = row_start[:, None] + jnp.arange(window, dtype=jnp.int32)
