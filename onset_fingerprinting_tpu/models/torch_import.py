@@ -24,13 +24,12 @@ stays torch-free.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Mapping, Optional
 
 import numpy as np
 
-from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
+from onset_fingerprinting_tpu.models.fcnn import ACTIVATIONS, FCNN, FCNNBundle
 
 __all__ = [
     "fcnn_from_model_args",
@@ -52,18 +51,19 @@ def fcnn_from_model_args(model_args: Mapping) -> FCNN:
     args.pop("input_size", None)
     act = args.pop("activation", "relu")
     if not isinstance(act, str):  # torch class slipped in; use its name
-        act = getattr(act, "__name__", str(act)).lower()
-    return FCNN(
-        output_size=args.pop("output_size", 2),
-        hidden_layers=tuple(args.pop("hidden_layers", (10, 10, 10))),
-        activation=act,
-        dropout=args.pop("dropout", 0.0),
-        batch_norm=args.pop("batch_norm", True),
-        l2_reg=args.pop("l2_reg", 0.0),
-        eye_init=args.pop("eye_init", False),
-        eye_noise_floor=args.pop("eye_noise_floor", 0.01),
-        bias=args.pop("bias", True),
-    )
+        act = getattr(act, "__name__", str(act))
+    act = act.lower()
+    if act not in ACTIVATIONS:
+        raise ValueError(
+            f"unsupported activation {act!r} in model_args; "
+            f"known: {sorted(ACTIVATIONS)}"
+        )
+    if "hidden_layers" in args:
+        args["hidden_layers"] = tuple(args["hidden_layers"])
+    # forward the rest verbatim: FCNN's fields are named 1:1 after the
+    # reference ctor kwargs (calibration.py:465-475), and a typo'd key
+    # must raise (the reference's FCNN(**model_args) would, too)
+    return FCNN(activation=act, **args)
 
 
 def fcnn_variables_from_state_dict(
@@ -91,8 +91,9 @@ def fcnn_variables_from_state_dict(
         ``hidden_layers``/``batch_norm`` must describe the same
         architecture the state_dict was trained with.
     :returns: flax variables dict (``{"params": ..., "batch_stats": ...}``).
-    :raises ValueError: when the state_dict's layer count does not match
-        ``model`` (wrong ``hidden_layers``/``batch_norm`` in model_args).
+    :raises ValueError: when the state_dict's layer count or per-layer
+        bias presence does not match ``model`` (wrong ``hidden_layers``/
+        ``batch_norm``/``bias`` in model_args).
     """
 
     def to_np(t):
@@ -122,6 +123,14 @@ def fcnn_variables_from_state_dict(
             }
             n_bn += 1
         else:  # Linear
+            if ("bias" in slot) != model.bias:
+                raise ValueError(
+                    f"Linear layer {n_dense} "
+                    f"{'has' if 'bias' in slot else 'lacks'} a bias tensor "
+                    f"but model_args says bias={model.bias} — a silent "
+                    "mismatch here would serve wrong predictions (torch's "
+                    "strict load_state_dict raises on the same checkpoint)"
+                )
             entry = {"kernel": slot["weight"].T}
             if "bias" in slot:
                 entry["bias"] = slot["bias"]
@@ -158,15 +167,25 @@ def load_reference_setup(
 
     :param path: directory holding ``ml_conf.json`` (+ ``model.pt``).
     :param c: optional speed-of-sound override (reference parity).
+    :raises FileNotFoundError: when ``model_args`` names a trained model
+        but ``model_file`` is missing — silently returning ``model=None``
+        would degrade the serve app to Newton trilateration with no
+        indication the calibrated model was dropped (the reference's
+        ``torch.load`` raises here, too).
     """
+    from onset_fingerprinting_tpu.realtime.setup_io import read_conf
+
     path = Path(path)
-    conf = json.loads((path / json_name).read_text())
-    conf["sensor_locations"] = np.asarray(conf["sensor_locations"])
-    if c is not None:
-        conf["c"] = c
+    conf = read_conf(path, json_name=json_name, c=c)
     model = None
     model_args = conf.get("model_args")
-    if model_args and (path / model_file).exists():
+    if model_args:
+        if not (path / model_file).exists():
+            raise FileNotFoundError(
+                f"{path / model_file} not found but model_args is set — "
+                "the setup's calibrated location model is missing (copy "
+                "the reference's model.pt next to its ml_conf.json)"
+            )
         try:
             import torch
         except ImportError as e:  # pragma: no cover - torch is baked in

@@ -18,6 +18,20 @@ import numpy as np
 from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
 
 
+def read_conf(
+    path: str | Path, json_name: str = "ml_conf.json", c: Optional[float] = None
+) -> dict:
+    """Parse a setup's ``ml_conf.json`` (shared by the orbax and the
+    reference-``model.pt`` load paths so the conf contract cannot drift).
+
+    :param c: optional speed-of-sound override (reference parity)."""
+    conf = json.loads((Path(path) / json_name).read_text())
+    conf["sensor_locations"] = np.asarray(conf["sensor_locations"])
+    if c is not None:
+        conf["c"] = c
+    return conf
+
+
 def save_setup(
     sensor_locations,
     medium: str,
@@ -68,10 +82,7 @@ def load_setup(
         )
 
         return load_reference_setup(path, json_name=json_name, c=c)
-    conf = json.loads((path / json_name).read_text())
-    conf["sensor_locations"] = np.asarray(conf["sensor_locations"])
-    if c is not None:
-        conf["c"] = c
+    conf = read_conf(path, json_name=json_name, c=c)
     model = None
     if conf.get("model_args") and (path / "model_ckpt").exists():
         import orbax.checkpoint as ocp

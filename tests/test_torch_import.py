@@ -171,3 +171,53 @@ def test_model_args_activation_class_tolerated():
          "activation": torch.nn.SiLU}
     )
     assert fcnn.activation == "silu"
+
+
+def test_model_args_activation_case_insensitive_and_validated():
+    """Hand-authored capitalizations load; unknown names fail at load
+    time, not with a KeyError at first inference inside the serve loop."""
+    fcnn = fcnn_from_model_args({"activation": "SiLU"})
+    assert fcnn.activation == "silu"
+    with pytest.raises(ValueError, match="unsupported activation"):
+        fcnn_from_model_args({"activation": "gelu-ish"})
+
+
+def test_model_args_unknown_key_raises():
+    """A typo'd model_args key must raise (reference FCNN(**args) parity),
+    not silently build a default architecture."""
+    with pytest.raises(TypeError):
+        fcnn_from_model_args({"hidden_layer": [5, 5]})
+
+
+def test_bias_presence_mismatch_raises():
+    """Checkpoint trained with bias=True + model_args bias=False must fail
+    loudly — flax would otherwise ignore the trained biases and serve
+    wrong coordinates (torch's strict load_state_dict raises here)."""
+    tm = TorchMLP(4, 2, [10], bias=True)
+    fcnn = FCNN(output_size=2, hidden_layers=(10,), bias=False)
+    with pytest.raises(ValueError, match="bias"):
+        fcnn_variables_from_state_dict(tm.state_dict(), fcnn)
+    tm = TorchMLP(4, 2, [10], bias=False)
+    fcnn = FCNN(output_size=2, hidden_layers=(10,), bias=True)
+    with pytest.raises(ValueError, match="bias"):
+        fcnn_variables_from_state_dict(tm.state_dict(), fcnn)
+
+
+def test_missing_model_pt_raises(tmp_path: Path):
+    """model_args present but model.pt missing must not silently return
+    model=None (the serve app would degrade to trilateration with no
+    indication the calibrated model was dropped)."""
+    conf = {
+        "sensor_locations": [[1.0, 0.0], [0.0, 1.0]],
+        "medium": "drumhead",
+        "c": 82.0,
+        "model_args": {"output_size": 2, "hidden_layers": [5]},
+    }
+    (tmp_path / "ml_conf.json").write_text(json.dumps(conf))
+    with pytest.raises(FileNotFoundError, match="model_args"):
+        load_reference_setup(tmp_path)
+    # without model_args the same directory is a model-less setup: fine
+    conf["model_args"] = None
+    (tmp_path / "ml_conf.json").write_text(json.dumps(conf))
+    got_conf, bundle = load_reference_setup(tmp_path)
+    assert bundle is None and got_conf["c"] == 82.0
