@@ -172,11 +172,19 @@ def synth_location_session(
     noise: float = 1e-4,
     velocity_range: tuple[float, float] = (0.4, 1.0),
     f0: float = 900.0,
+    r_range: tuple[float, float] = (0.1, 0.9),
+    phi_range: tuple[float, float] = (0.0, 360.0),
 ) -> tuple[np.ndarray, np.ndarray]:
     """Write a POSD session of modal-drum hits at random locations.
 
     Onset annotation is the first arrival (min per-sensor delay), matching
     how the reference's mined datasets anchor windows (data.py:55-120).
+
+    ``r_range``/``phi_range`` confine hits to a patch of the head (radius
+    fractions / bearing degrees; sampling stays uniform-over-area within
+    the patch).  Useful for fixtures that need a constant sensor arrival
+    order — e.g. training data for the serve loop's learned-trilateration
+    bypass, whose FCNN input is the pair of arrival-order sample lags.
 
     :returns: ``(onsets [n_hits] int, locations [n_hits, 2] cm)``
     """
@@ -189,8 +197,9 @@ def synth_location_session(
     locs = np.zeros((n_hits, 2), dtype=np.float32)
     for i in range(n_hits):
         base = spacing + i * spacing
-        r = np.sqrt(rng.uniform(0.01, 0.9**2))  # uniform over the head
-        phi = rng.uniform(0, 360)
+        # uniform over the (patch of the) head
+        r = np.sqrt(rng.uniform(r_range[0] ** 2, r_range[1] ** 2))
+        phi = rng.uniform(*phi_range)
         velocity = rng.uniform(*velocity_range)
         hit, delays = modal_hit(
             rng, r, phi, sensors=sensors, sr=sr, n=hit_len,
