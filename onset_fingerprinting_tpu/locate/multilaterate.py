@@ -135,9 +135,17 @@ class Multilaterate3D(_LagMapsMixin):
         sr: int = 44100,
         c: Optional[float] = None,
         model=None,
+        model_input: str = "arrival",
     ):
         self.c = speed_of_sound(100, medium=medium) if c is None else c * 100
         self.model = model
+        if model_input not in ("arrival", "by_channel"):
+            raise ValueError(f"unknown model_input {model_input!r}")
+        if model_input == "by_channel" and len(sensor_locations) != 3:
+            raise ValueError(
+                "model_input='by_channel' needs exactly 3 sensors"
+            )
+        self.model_input = model_input
         self.radius = drum_diameter / 2
         self.sensor_locs = [
             tuple(
@@ -235,8 +243,14 @@ class Multilaterate3D(_LagMapsMixin):
         d_a1 = onsets[1] - onsets[0]
         d_b1 = onsets[2] - onsets[0]
         if self.model is not None:
-            # learned model maps lag pairs → meters; our scale is cm
-            return self.model.call_np((d_a1, d_b1)) * 100
+            # learned model maps lag features → meters; our scale is cm
+            if self.model_input == "by_channel":
+                by_ch = np.zeros(3, dtype=np.float64)
+                by_ch[list(sensors)] = onsets
+                feats = tuple(by_ch[1:] - by_ch[0])
+            else:
+                feats = (d_a1, d_b1)
+            return self.model.call_np(feats) * 100
         triple = jnp.array(
             [
                 self.sensor_locs[sensors[0]],
@@ -485,6 +499,7 @@ def make_locate_update(
     capacity: int = 8,
     cc_refine: bool = False,
     model=None,
+    model_input: str = "arrival",
 ):
     """Build a jitted locate step.
 
@@ -509,9 +524,32 @@ def make_locate_update(
     solve with the learned lags→(x, y) model inside the same device program
     (the reference calls its torch FCNN on host per hit,
     multilateration.py:555-557).
+
+    ``model_input`` selects the model's feature representation:
+
+    - ``"arrival"`` (default, reference parity): the pair of
+      arrival-order sample lags ``(second−first, third−first)``
+      (multilateration.py:555-557).  Ambiguous across the full head —
+      mirror-symmetric positions produce identical pairs — and
+      inconsistent with the reference's own TRAINING convention, which is
+      fixed-channel-order ``np.diff(onsets)`` (calibration.py:347).
+    - ``"by_channel"``: fixed-channel-order sample lags
+      ``onset[ch] − onset[ch0]`` for ch 1..C−1 (may be negative) —
+      matches ``np.diff`` training rows exactly and is unambiguous, so a
+      model trained on mined POSD onsets serves anywhere on the head.
+      Requires a 3-sensor configuration (every group then contains all
+      channels).
     """
     from onset_fingerprinting_tpu.detect.refine import cc_refine_adjust_jax
 
+    if model_input not in ("arrival", "by_channel"):
+        raise ValueError(f"unknown model_input {model_input!r}")
+    if model_input == "by_channel" and len(m.sensor_locs) != 3:
+        raise ValueError(
+            "model_input='by_channel' needs exactly 3 sensors (groups "
+            "complete on the 3rd arrival, so with more sensors some "
+            "channels would be absent from the feature vector)"
+        )
     maps, min_l, max_l, mml, xyz = build_locator_tables(m)
     radius = float(m.radius)
     samples_per_cm = float(m.samples_per_cm)
@@ -621,12 +659,23 @@ def make_locate_update(
         deltas = jnp.stack([lag1, lag2]) * c_over_sr
         if model is not None:
             # learned trilateration bypass (multilateration.py:555-557):
-            # FCNN maps the lag pair → meters; our scale is cm.  Fully
+            # FCNN maps the lag features → meters; our scale is cm.  Fully
             # jittable — no host round-trip, unlike the reference's
             # torch call_np in the audio callback.
+            if model_input == "by_channel":
+                # scatter the 3 group onsets into channel order; diff in
+                # int32 BEFORE the float cast (onsets grow unboundedly)
+                ids = jnp.stack([s0, s1, sensor]).astype(jnp.int32)
+                ons = jnp.stack(
+                    [o0, o1, onset]
+                ).astype(jnp.int32)
+                by_ch = jnp.zeros((3,), jnp.int32).at[ids].set(ons)
+                feats = (by_ch[1:] - by_ch[:1]).astype(jnp.float32)
+            else:
+                feats = jnp.stack([lag1, lag2])
             pred = model.model.apply(
                 model.variables,
-                jnp.stack([lag1, lag2])[None, :],
+                feats[None, :],
                 train=False,
             )[0]
             point = pred * 100.0

@@ -148,6 +148,7 @@ def make_engine_step(
     event_queue: int = 64,
     cc_refine: bool = False,
     model=None,
+    model_input: str = "arrival",
 ):
     """Build (initial EngineState, jitted step fn).
 
@@ -180,7 +181,8 @@ def make_engine_step(
         def detect_fn(params_, st, block):
             return detect_block(static, params_, st, block)
     locate_update = make_locate_update(
-        locator, capacity=capacity, cc_refine=cc_refine, model=model
+        locator, capacity=capacity, cc_refine=cc_refine, model=model,
+        model_input=model_input,
     )
     win_len = getattr(locate_update, "window_len", 0)
     c = cfg.n_channels
@@ -305,6 +307,7 @@ class RealtimeEngine:
         use_pallas: bool | None = None,
         metrics=None,
         model=None,
+        model_input: str = "arrival",
     ):
         self.cfg = cfg
         self.locator = locator
@@ -312,7 +315,8 @@ class RealtimeEngine:
         self.fx = list(fx)
         self.monitor_channels = monitor_channels
         self.state, self.params, self._step = make_engine_step(
-            cfg, locator, ring_seconds, use_pallas=use_pallas, model=model
+            cfg, locator, ring_seconds, use_pallas=use_pallas, model=model,
+            model_input=model_input,
         )
         self.host_ring = host_ring
         self.current_index = 0

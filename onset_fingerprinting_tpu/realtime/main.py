@@ -44,12 +44,14 @@ def build_engine(
 ) -> RealtimeEngine:
     """Wire setup → locator → engine → actions (realtime/main.py:66-98)."""
     conf, model = load_setup(Path(setup_dir))
+    model_input = conf.get("model_input", "arrival")
     locator = Multilaterate3D(
         sensor_locations=conf["sensor_locations"],
         sr=sr,
         medium=conf["medium"],
         c=conf["c"],
         model=model,
+        model_input=model_input,
     )
     n_channels = len(conf["sensor_locations"])
     cfg = DetectorConfig(
@@ -74,7 +76,8 @@ def build_engine(
     # the saved FCNN runs *inside* the fused device step (learned
     # trilateration bypass) — no per-hit host round-trip
     engine = RealtimeEngine(
-        cfg, locator, actions=actions, fx=[fx], model=model
+        cfg, locator, actions=actions, fx=[fx], model=model,
+        model_input=model_input,
     )
     # analysis side-channel (quantize/BPM/record; the reference's
     # AnalysisOnDemand process, realtime/main.py:72-76)

@@ -40,7 +40,12 @@ def save_setup(
     model_args: Optional[dict],
     path: str | Path,
     json_name: str = "ml_conf.json",
+    model_input: str = "arrival",
 ) -> None:
+    """``model_input`` records which lag representation the model was
+    trained on ("arrival" pair lags — reference parity — or fixed-order
+    "by_channel" lags; see locate.make_locate_update) so the serve app
+    rebuilds the matching locator."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     if isinstance(sensor_locations, np.ndarray):
@@ -51,6 +56,8 @@ def save_setup(
         "c": c,
         "model_args": model_args,
     }
+    if model_input != "arrival":
+        conf["model_input"] = model_input
     (path / json_name).write_text(json.dumps(conf, indent=2))
     if model is not None:
         import orbax.checkpoint as ocp

@@ -42,8 +42,17 @@ SENSORS = [(0.9, 0.0), (0.9, 120.0), (0.9, 240.0)]
 PATCH = dict(r_range=(0.35, 0.6), phi_range=(12.0, 48.0))
 
 
-def _mined_lags_and_targets(json_path, true_onsets, true_locs_cm):
-    """Mined POSD hits → (arrival-order sample-lag pairs, targets in m)."""
+def _mined_lags_and_targets(
+    json_path, true_onsets, true_locs_cm, order="arrival"
+):
+    """Mined POSD hits → (sample-lag pairs, targets in m).
+
+    ``order="arrival"``: sorted-onset pair lags (what the engine's default
+    ``model_input="arrival"`` bypass feeds the FCNN — the serve locator's
+    swap-on-negative-lag sorts near-ties the same way).
+    ``order="by_channel"``: fixed-channel-order ``on[1:] - on[0]`` (the
+    reference's np.diff training convention; ``model_input="by_channel"``).
+    """
     import json
 
     hits = json.loads(json_path.read_text())["hits"]
@@ -56,11 +65,8 @@ def _mined_lags_and_targets(json_path, true_onsets, true_locs_cm):
         j = int(np.argmin(d))
         if d[j] > 400:
             continue  # spurious detection: skip, counted via match rate
-        # arrival order (the patch makes this the channel order up to
-        # ±1-sample detector jitter on near-ties; the serve locator's
-        # swap-on-negative-lag sorts the same way, so SORTED onsets are
-        # the representation the engine actually feeds the FCNN)
-        on = np.sort(on)
+        if order == "arrival":
+            on = np.sort(on)
         lags.append([on[1] - on[0], on[2] - on[0]])
         targets.append(true_locs_cm[j] / 100.0)  # cm → m (FCNN contract)
     return np.asarray(lags, np.float32), np.asarray(targets, np.float32)
@@ -132,3 +138,70 @@ def test_mine_train_serve_round_trip(tmp_path):
         for t in serve_loc
     ]))
     assert med < base, f"no better than predict-mean ({med:.2f} vs {base:.2f})"
+
+
+@pytest.mark.slow
+def test_journey_by_channel_full_head(tmp_path):
+    """Same journey, full head, no patch: model_input='by_channel' serves
+    fixed-channel-order lags (the reference's np.diff TRAINING convention,
+    calibration.py:347), which are unambiguous across the whole head —
+    the arrival-order pair representation the reference serves
+    (multilateration.py:555-557) cannot do this (mirror positions
+    collide).  This is the documented improvement over reference parity.
+    """
+    n_train = 96
+    true_on, true_loc = synth_location_session(
+        tmp_path / "data", "train0", n_hits=n_train, sr=SR, seed=5,
+        sensors=SENSORS, spacing=6000,
+    )
+    jp = mine_file(
+        tmp_path / "data" / "train0.wav", tmp_path / "mined",
+        min_channels=3, fix=True, backend="scan",
+    )
+    assert jp is not None
+    lags, targets = _mined_lags_and_targets(
+        jp, true_on, true_loc, order="by_channel"
+    )
+    assert len(lags) >= 0.9 * n_train, f"mined only {len(lags)}/{n_train}"
+
+    bundle, _ = train_location_model(
+        lags, targets, lr=1e-2, num_epochs=2500, patience=2500,
+        epochs_per_step=50,
+    )
+    margs = {"output_size": 2, "hidden_layers": [10, 10, 10],
+             "batch_norm": True}
+    sensor_conf = [[r, phi, 0.0] for r, phi in SENSORS]
+    save_setup(sensor_conf, "air", None, bundle, margs,
+               tmp_path / "setup", model_input="by_channel")
+
+    from onset_fingerprinting_tpu.realtime.main import build_engine
+
+    engine = build_engine(tmp_path / "setup", sr=SR)
+    assert engine.locator.model_input == "by_channel"
+    n_serve = 10
+    serve_on, serve_loc = synth_location_session(
+        tmp_path / "serve", "serve0", n_hits=n_serve, sr=SR, seed=17,
+        sensors=SENSORS, spacing=6000,
+    )
+    audio, _, _ = posd.load_session(tmp_path / "serve" / "serve0.json")
+    found = []
+    for i in range(0, len(audio) - 128 + 1, 128):
+        _, hit_locs = engine.process(audio[i : i + 128])
+        found.extend(hit_locs)
+    assert len(found) >= 0.8 * n_serve, f"served {len(found)}/{n_serve}"
+    errs = [
+        abs(loc.x - float(t[0])) + abs(loc.y - float(t[1]))
+        for loc, t in zip(found, serve_loc)
+    ]
+    med = float(np.median(errs))
+    # full head: 96 training hits over a 35.6 cm disk → coarser than the
+    # patch test, but must stay well below the predict-mean floor
+    assert med < 4.0, f"serve median L1 {med:.2f} cm (errors {errs})"
+    mean_pred = targets.mean(axis=0) * 100
+    base = float(np.median([
+        abs(mean_pred[0] - t[0]) + abs(mean_pred[1] - t[1])
+        for t in serve_loc
+    ]))
+    assert med < 0.5 * base, (
+        f"not clearly better than predict-mean ({med:.2f} vs {base:.2f})"
+    )

@@ -310,6 +310,64 @@ class TestJittableLocator:
         expected = bundle.call_np(lags) * 100.0
         np.testing.assert_allclose(found[0], expected, rtol=1e-5)
 
+    def test_model_bypass_by_channel(self):
+        """model_input='by_channel' feeds FIXED-channel-order lags (the
+        reference's np.diff training convention, calibration.py:347) even
+        when the arrival order differs from the channel order."""
+        import jax
+        from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
+
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR, model_input="by_channel")
+        net = FCNN(output_size=2, hidden_layers=(4,), batch_norm=False)
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 2), jnp.float32), train=False)
+        bundle = FCNNBundle(net, variables)
+        update = make_locate_update(
+            m, model=bundle, model_input="by_channel"
+        )
+        state = locator_init(8)
+        c = speed_of_sound(100, medium="drumhead")
+        # phi=280 deg: arrival order is ch2, ch0, ch1 — NOT channel order
+        x, y = 8 * np.cos(np.radians(280)), 8 * np.sin(np.radians(280))
+        base = 10000
+        d = [np.hypot(x - sx, y - sy) for (sx, sy, _) in xyz]
+        on = [base + int(round(di / c * SR)) for di in d]
+        assert on[2] < on[0] < on[1], "fixture must break channel order"
+        found = []
+        for onset, ch in sorted((on[ch], ch) for ch in range(3)):
+            state, point, emit = update(
+                state, jnp.int32(ch), jnp.int32(onset)
+            )
+            if bool(emit):
+                found.append(np.asarray(point))
+        assert len(found) == 1
+        # expected input: (on1-on0, on2-on0) in CHANNEL order, negative ok
+        feats = [on[1] - on[0], on[2] - on[0]]
+        expected = bundle.call_np(feats) * 100.0
+        np.testing.assert_allclose(found[0], expected, rtol=1e-5)
+        # host-class twin must agree on the same group
+        m_host = Multilaterate3D(polar, drum_diameter=DIAM,
+                                 medium="drumhead", sr=SR, model=bundle,
+                                 model_input="by_channel")
+        order = np.argsort(on)
+        group = ([int(order[0]), int(order[1]), int(order[2])],
+                 [on[order[0]], on[order[1]], on[order[2]]])
+        np.testing.assert_allclose(
+            m_host.trilaterate(group, None), expected, rtol=1e-5
+        )
+
+    def test_by_channel_validation(self):
+        polar, _ = sensors_3d(DIAM / 2)
+        with pytest.raises(ValueError, match="model_input"):
+            Multilaterate3D(polar, model_input="nope")
+        with pytest.raises(ValueError, match="3 sensors"):
+            Multilaterate3D(
+                polar + [(0.9, 60.0, 0.0)], model_input="by_channel"
+            )
+
 
 class TestCalibration:
     def test_calibration_locations(self):
