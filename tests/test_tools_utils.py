@@ -206,3 +206,73 @@ class TestMineHits:
         rc = main([str(tmp_path / "rec.wav"), "--out", str(out),
                    "--hipass", "0"])
         assert rc == 0
+
+
+class TestTrainSetup:
+    def test_cli_session_to_serve_setup(self, tmp_path):
+        """tools/train_setup: labeled POSD session → FCNN serve setup that
+        build_engine loads with the recorded model_input representation
+        (the CLI leg between the label editors and realtime.main)."""
+        from onset_fingerprinting_tpu.data.synth import (
+            synth_location_session,
+        )
+        from onset_fingerprinting_tpu.realtime.main import build_engine
+        from onset_fingerprinting_tpu.tools.mine_hits import mine_file
+        from onset_fingerprinting_tpu.tools.train_setup import main
+
+        sensors = [(0.9, 0.0), (0.9, 120.0), (0.9, 240.0)]
+        true_on, true_loc = synth_location_session(
+            tmp_path / "d", "s0", n_hits=24, sr=96000, seed=7,
+            sensors=sensors, spacing=6000,
+        )
+        jp = mine_file(
+            tmp_path / "d" / "s0.wav", tmp_path / "m", min_channels=3,
+            backend="scan",
+        )
+        assert jp is not None
+        # "label" the mined hits: attach ground-truth locations (the role
+        # of tools.modify_hits* in the real workflow)
+        sess = posd_io.read_json(jp)
+        labeled = []
+        for h in sess["hits"]:
+            seed_on = min(h["onset_start"])
+            j = int(np.argmin(np.abs(true_on - seed_on)))
+            if abs(int(true_on[j]) - seed_on) < 400:
+                h["location"] = [float(v) for v in true_loc[j]]
+                labeled.append(h)
+        sess["hits"] = labeled
+        posd_io.write_json(sess, jp)
+
+        rc = main([
+            str(jp), "--out", str(tmp_path / "setup"),
+            "--sensors", "0.9,0", "0.9,120", "0.9,240",
+            "--location-format", "xy_cm", "--model-input", "by_channel",
+            "--epochs", "600", "--cpu",
+        ])
+        assert rc == 0
+        engine = build_engine(tmp_path / "setup", sr=96000)
+        assert engine.locator.model_input == "by_channel"
+        out, locs = engine.process(np.zeros((128, 3), np.float32))
+        assert out.shape == (128, 2) and locs == []
+
+    def test_rejects_bad_sessions(self, tmp_path):
+        from onset_fingerprinting_tpu.tools.train_setup import (
+            session_lags_and_targets,
+        )
+
+        with pytest.raises(ValueError, match="3 channels"):
+            session_lags_and_targets(
+                {"hits": [{"onset_start": 5, "location": [0.5, 10.0]}]}
+            )
+        sess = {"hits": [
+            {"onset_start": [100, 110, 120], "location": [0.5, 90.0]},
+            {"onset_start": [200, -1, 220], "location": [0.2, 0.0]},
+            {"onset_start": [300, 310, 320]},
+        ]}
+        lags, targets = session_lags_and_targets(sess)
+        # hit 2 lacks a channel, hit 3 lacks a label → one usable row
+        assert lags.shape == (1, 2) and targets.shape == (1, 2)
+        # polar convention: r01 * radius along phi=90 → +y, meters
+        np.testing.assert_allclose(
+            targets[0], [0.0, 0.5 * 17.78 / 100], atol=1e-6
+        )
