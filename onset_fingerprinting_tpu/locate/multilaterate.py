@@ -245,9 +245,10 @@ class Multilaterate3D(_LagMapsMixin):
         if self.model is not None:
             # learned model maps lag features → meters; our scale is cm
             if self.model_input == "by_channel":
+                # adjacent channel-order diffs = np.diff (calibration.py:347)
                 by_ch = np.zeros(3, dtype=np.float64)
                 by_ch[list(sensors)] = onsets
-                feats = tuple(by_ch[1:] - by_ch[0])
+                feats = tuple(np.diff(by_ch))
             else:
                 feats = (d_a1, d_b1)
             return self.model.call_np(feats) * 100
@@ -533,12 +534,12 @@ def make_locate_update(
       mirror-symmetric positions produce identical pairs — and
       inconsistent with the reference's own TRAINING convention, which is
       fixed-channel-order ``np.diff(onsets)`` (calibration.py:347).
-    - ``"by_channel"``: fixed-channel-order sample lags
-      ``onset[ch] − onset[ch0]`` for ch 1..C−1 (may be negative) —
-      matches ``np.diff`` training rows exactly and is unambiguous, so a
-      model trained on mined POSD onsets serves anywhere on the head.
-      Requires a 3-sensor configuration (every group then contains all
-      channels).
+    - ``"by_channel"``: fixed-channel-order ADJACENT sample lags
+      ``np.diff(onsets)`` = ``(onset[1]−onset[0], onset[2]−onset[1])``
+      (may be negative) — exactly the reference's training convention
+      (calibration.py:347), and unambiguous, so a model trained on mined
+      POSD onsets serves anywhere on the head.  Requires a 3-sensor
+      configuration (every group then contains all channels).
     """
     from onset_fingerprinting_tpu.detect.refine import cc_refine_adjust_jax
 
@@ -663,14 +664,16 @@ def make_locate_update(
             # jittable — no host round-trip, unlike the reference's
             # torch call_np in the audio callback.
             if model_input == "by_channel":
-                # scatter the 3 group onsets into channel order; diff in
-                # int32 BEFORE the float cast (onsets grow unboundedly)
+                # scatter the 3 group onsets into channel order; adjacent
+                # diffs (np.diff — the reference's training rows,
+                # calibration.py:347) in int32 BEFORE the float cast
+                # (onsets grow unboundedly)
                 ids = jnp.stack([s0, s1, sensor]).astype(jnp.int32)
                 ons = jnp.stack(
                     [o0, o1, onset]
                 ).astype(jnp.int32)
                 by_ch = jnp.zeros((3,), jnp.int32).at[ids].set(ons)
-                feats = (by_ch[1:] - by_ch[:1]).astype(jnp.float32)
+                feats = (by_ch[1:] - by_ch[:-1]).astype(jnp.float32)
             else:
                 feats = jnp.stack([lag1, lag2])
             pred = model.model.apply(

@@ -45,6 +45,9 @@ def build_engine(
     """Wire setup → locator → engine → actions (realtime/main.py:66-98)."""
     conf, model = load_setup(Path(setup_dir))
     model_input = conf.get("model_input", "arrival")
+    locator_kw = {}
+    if conf.get("drum_diameter"):  # persisted head size (cm): legality
+        locator_kw["drum_diameter"] = float(conf["drum_diameter"])
     locator = Multilaterate3D(
         sensor_locations=conf["sensor_locations"],
         sr=sr,
@@ -52,6 +55,7 @@ def build_engine(
         c=conf["c"],
         model=model,
         model_input=model_input,
+        **locator_kw,
     )
     n_channels = len(conf["sensor_locations"])
     cfg = DetectorConfig(

@@ -15,7 +15,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
+from onset_fingerprinting_tpu.models.fcnn import FCNNBundle
 
 
 def read_conf(
@@ -41,11 +41,14 @@ def save_setup(
     path: str | Path,
     json_name: str = "ml_conf.json",
     model_input: str = "arrival",
+    drum_diameter: Optional[float] = None,
 ) -> None:
     """``model_input`` records which lag representation the model was
     trained on ("arrival" pair lags — reference parity — or fixed-order
-    "by_channel" lags; see locate.make_locate_update) so the serve app
-    rebuilds the matching locator."""
+    "by_channel" np.diff lags; see locate.make_locate_update) so the
+    serve app rebuilds the matching locator.  ``drum_diameter`` (cm)
+    records the head size the model's targets were scaled to; the serve
+    locator's lag-legality maps are built from it."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     if isinstance(sensor_locations, np.ndarray):
@@ -58,6 +61,8 @@ def save_setup(
     }
     if model_input != "arrival":
         conf["model_input"] = model_input
+    if drum_diameter is not None:
+        conf["drum_diameter"] = drum_diameter
     (path / json_name).write_text(json.dumps(conf, indent=2))
     if model is not None:
         import orbax.checkpoint as ocp
@@ -91,16 +96,31 @@ def load_setup(
         return load_reference_setup(path, json_name=json_name, c=c)
     conf = read_conf(path, json_name=json_name, c=c)
     model = None
-    if conf.get("model_args") and (path / "model_ckpt").exists():
+    if conf.get("model_args"):
+        if not (path / "model_ckpt").exists():
+            # reachable when NEITHER checkpoint format exists (model.pt
+            # alone delegates above): silently returning model=None would
+            # degrade the serve app to Newton trilateration with no
+            # indication the calibrated model was dropped
+            raise FileNotFoundError(
+                f"setup {path} has model_args but neither model_ckpt/ "
+                "(this framework) nor model.pt (reference) exists"
+            )
         import orbax.checkpoint as ocp
 
         import jax.numpy as jnp
 
+        # shared constructor: validates/normalizes activation and rejects
+        # typo'd keys at load time (torch-free despite the module name)
+        from onset_fingerprinting_tpu.models.torch_import import (
+            fcnn_from_model_args,
+        )
+
         args = dict(conf["model_args"])
-        input_size = args.pop(
+        input_size = args.get(
             "input_size", len(conf["sensor_locations"]) - 1
         )
-        fcnn = FCNN(**args)
+        fcnn = fcnn_from_model_args(args)
         dummy = jnp.zeros((1, input_size), jnp.float32)
         target = fcnn.init(jax.random.PRNGKey(0), dummy, train=False)
         ckptr = ocp.StandardCheckpointer()

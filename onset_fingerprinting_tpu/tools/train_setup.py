@@ -65,10 +65,16 @@ def session_lags_and_targets(
     keep = (onsets >= 0).all(axis=1)
     onsets, locs = onsets[keep], locs[keep]
     if model_input == "arrival":
+        # sorted-onset PAIR lags (second−first, third−first): what the
+        # engine's default bypass feeds the model
         onsets = np.sort(onsets, axis=1)
-    elif model_input != "by_channel":
+        lags = (onsets[:, 1:] - onsets[:, :1]).astype(np.float32)
+    elif model_input == "by_channel":
+        # fixed-channel-order ADJACENT diffs = np.diff — the reference's
+        # training convention (calibration.py:347)
+        lags = np.diff(onsets, axis=1).astype(np.float32)
+    else:
         raise ValueError(f"unknown model_input {model_input!r}")
-    lags = (onsets[:, 1:] - onsets[:, :1]).astype(np.float32)
     if location_format == "polar":
         r = locs[:, 0] * radius_cm
         phi = np.radians(locs[:, 1])
@@ -120,6 +126,9 @@ def train_setup(
     save_setup(
         sensors, medium, c, bundle, margs, out_dir,
         model_input=model_input,
+        # persist the head size: the serve locator's lag-legality maps
+        # must match the geometry the targets were scaled to
+        drum_diameter=2 * radius_cm,
     )
     return err_cm
 

@@ -50,8 +50,8 @@ def _mined_lags_and_targets(
     ``order="arrival"``: sorted-onset pair lags (what the engine's default
     ``model_input="arrival"`` bypass feeds the FCNN — the serve locator's
     swap-on-negative-lag sorts near-ties the same way).
-    ``order="by_channel"``: fixed-channel-order ``on[1:] - on[0]`` (the
-    reference's np.diff training convention; ``model_input="by_channel"``).
+    ``order="by_channel"``: fixed-channel-order adjacent ``np.diff(on)``
+    (the reference's training convention; ``model_input="by_channel"``).
     """
     import json
 
@@ -67,9 +67,31 @@ def _mined_lags_and_targets(
             continue  # spurious detection: skip, counted via match rate
         if order == "arrival":
             on = np.sort(on)
-        lags.append([on[1] - on[0], on[2] - on[0]])
+            lags.append([on[1] - on[0], on[2] - on[0]])
+        else:
+            lags.append(list(np.diff(on)))
         targets.append(true_locs_cm[j] / 100.0)  # cm → m (FCNN contract)
     return np.asarray(lags, np.float32), np.asarray(targets, np.float32)
+
+
+def _serve_errors(engine, audio, true_onsets, true_locs_cm, tol=3000):
+    """Stream audio block-by-block; match each emitted hit to the nearest
+    true onset BY TIME (hit spacing is 6000 samples, so a missed or
+    spurious detection cannot misalign the remaining pairs the way a
+    bare zip would).  Returns (n_matched, L1 errors in cm)."""
+    found = []
+    for i in range(0, len(audio) - 128 + 1, 128):
+        _, hit_locs = engine.process(audio[i : i + 128])
+        found.extend((i, loc) for loc in hit_locs)
+    errs = []
+    for blk, loc in found:
+        j = int(np.argmin(np.abs(true_onsets - blk)))
+        if abs(int(true_onsets[j]) - blk) < tol:
+            errs.append(
+                abs(loc.x - float(true_locs_cm[j][0]))
+                + abs(loc.y - float(true_locs_cm[j][1]))
+            )
+    return len(errs), errs
 
 
 @pytest.mark.slow
@@ -116,17 +138,8 @@ def test_mine_train_serve_round_trip(tmp_path):
         sensors=SENSORS, spacing=6000, **PATCH,
     )
     audio, _, _ = posd.load_session(tmp_path / "serve" / "serve0.json")
-    found = []
-    for i in range(0, len(audio) - 128 + 1, 128):
-        _, hit_locs = engine.process(audio[i : i + 128])
-        found.extend(hit_locs)
-    assert len(found) >= 0.8 * n_serve, f"served {len(found)}/{n_serve}"
-
-    # match served locations (time order) to truth (time order)
-    errs = [
-        abs(loc.x - float(t[0])) + abs(loc.y - float(t[1]))
-        for loc, t in zip(found, serve_loc)
-    ]
+    n_matched, errs = _serve_errors(engine, audio, serve_on, serve_loc)
+    assert n_matched >= 0.8 * n_serve, f"served {n_matched}/{n_serve}"
     med = float(np.median(errs))
     # lag quantization is ~0.36 cm/sample here; detector timing jitter adds
     # a couple of samples per channel → ~1-2 cm is the honest expectation
@@ -184,15 +197,8 @@ def test_journey_by_channel_full_head(tmp_path):
         sensors=SENSORS, spacing=6000,
     )
     audio, _, _ = posd.load_session(tmp_path / "serve" / "serve0.json")
-    found = []
-    for i in range(0, len(audio) - 128 + 1, 128):
-        _, hit_locs = engine.process(audio[i : i + 128])
-        found.extend(hit_locs)
-    assert len(found) >= 0.8 * n_serve, f"served {len(found)}/{n_serve}"
-    errs = [
-        abs(loc.x - float(t[0])) + abs(loc.y - float(t[1]))
-        for loc, t in zip(found, serve_loc)
-    ]
+    n_matched, errs = _serve_errors(engine, audio, serve_on, serve_loc)
+    assert n_matched >= 0.8 * n_serve, f"served {n_matched}/{n_serve}"
     med = float(np.median(errs))
     # full head: 96 training hits over a 35.6 cm disk → coarser than the
     # patch test, but must stay well below the predict-mean floor

@@ -311,9 +311,10 @@ class TestJittableLocator:
         np.testing.assert_allclose(found[0], expected, rtol=1e-5)
 
     def test_model_bypass_by_channel(self):
-        """model_input='by_channel' feeds FIXED-channel-order lags (the
-        reference's np.diff training convention, calibration.py:347) even
-        when the arrival order differs from the channel order."""
+        """model_input='by_channel' feeds fixed-channel-order ADJACENT
+        lags (the reference's np.diff training convention,
+        calibration.py:347) even when the arrival order differs from the
+        channel order."""
         import jax
         from onset_fingerprinting_tpu.models.fcnn import FCNN, FCNNBundle
 
@@ -344,8 +345,9 @@ class TestJittableLocator:
             if bool(emit):
                 found.append(np.asarray(point))
         assert len(found) == 1
-        # expected input: (on1-on0, on2-on0) in CHANNEL order, negative ok
-        feats = [on[1] - on[0], on[2] - on[0]]
+        # expected input: ADJACENT channel-order diffs = np.diff
+        # (calibration.py:347), negative values allowed
+        feats = [on[1] - on[0], on[2] - on[1]]
         expected = bundle.call_np(feats) * 100.0
         np.testing.assert_allclose(found[0], expected, rtol=1e-5)
         # host-class twin must agree on the same group

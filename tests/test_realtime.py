@@ -306,6 +306,18 @@ class TestAsyncHarvest:
 
 
 class TestServeAppEntry:
+    def test_drum_diameter_persists_to_locator(self, tmp_path):
+        """A setup saved for a non-default head size must rebuild the
+        locator with matching lag-legality geometry (a 25 cm-radius rig
+        served with 17.78 cm maps silently drops rim hits)."""
+        from onset_fingerprinting_tpu.realtime.main import build_engine
+
+        locs = [[0.9, 0, 0], [0.9, 120, 0], [0.9, 240, 0]]
+        save_setup(locs, "drumhead", None, None, None, tmp_path,
+                   drum_diameter=50.0)
+        engine = build_engine(tmp_path, sr=SR)
+        assert engine.locator.radius == 25.0
+
     def test_build_engine_from_setup_and_run_wav(self, tmp_path, rng):
         """realtime.main: load_setup → engine wiring → WAV streaming through
         the native executor (the reference's app entry, main.py:66-105)."""

@@ -221,3 +221,35 @@ def test_missing_model_pt_raises(tmp_path: Path):
     (tmp_path / "ml_conf.json").write_text(json.dumps(conf))
     got_conf, bundle = load_reference_setup(tmp_path)
     assert bundle is None and got_conf["c"] == 82.0
+
+
+def test_load_setup_missing_any_checkpoint_raises(tmp_path: Path):
+    """load_setup (the serve entry point) must ALSO fail loudly when
+    model_args is set but neither model_ckpt/ nor model.pt exists —
+    the raise in load_reference_setup alone was unreachable from here."""
+    conf = {
+        "sensor_locations": [[0.9, 0.0], [0.9, 120.0], [0.9, 240.0]],
+        "medium": "air",
+        "c": None,
+        "model_args": {"output_size": 2, "hidden_layers": [5]},
+    }
+    (tmp_path / "ml_conf.json").write_text(json.dumps(conf))
+    with pytest.raises(FileNotFoundError, match="model_args"):
+        load_setup(tmp_path)
+
+
+def test_load_setup_orbax_path_validates_activation(tmp_path: Path):
+    """The orbax branch shares fcnn_from_model_args, so a bad activation
+    string in ml_conf.json fails at load time (not with a KeyError at
+    first inference inside the jitted serve step)."""
+    conf = {
+        "sensor_locations": [[0.9, 0.0], [0.9, 120.0], [0.9, 240.0]],
+        "medium": "air",
+        "c": None,
+        "model_args": {"output_size": 2, "hidden_layers": [5],
+                        "activation": "gelu-ish"},
+    }
+    (tmp_path / "ml_conf.json").write_text(json.dumps(conf))
+    (tmp_path / "model_ckpt").mkdir()  # presence check passes
+    with pytest.raises(ValueError, match="unsupported activation"):
+        load_setup(tmp_path)
