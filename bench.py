@@ -201,9 +201,6 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     import jax.numpy as jnp
 
     from onset_fingerprinting_tpu.core.config import DetectorConfig
-    from onset_fingerprinting_tpu.ops.pallas_detector import (
-        make_pallas_detector,
-    )
 
     c = n_streams * CHANNELS_PER_STREAM
     t = SR // chunks
@@ -215,14 +212,13 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
         coupled_off_gate=False,
     )
 
-    log(f"[{time.strftime('%H:%M:%S')}] building detector C={c}")
-    path = "pallas"
-    try:
-        static, params_d, state, run = make_pallas_detector(cfg, emit_rel=False)
-    except Exception as e:  # pragma: no cover - kernel toolchain fallback
-        log(f"pallas kernel unavailable ({type(e).__name__}: {e}); "
-            "falling back to XLA scan")
-        path = "xla_scan"
+    def build_detector(which: str):
+        if which == "pallas":
+            from onset_fingerprinting_tpu.ops.pallas_detector import (
+                make_pallas_detector,
+            )
+
+            return make_pallas_detector(cfg, emit_rel=False)
         from onset_fingerprinting_tpu.detect.amplitude import (
             detect_offline,
             detector_init,
@@ -233,6 +229,18 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
         def run(st, xd):
             st, (on, d, _) = detect_offline(static, params_d, st, xd)
             return st, (on, d, None)
+
+        return static, params_d, state, run
+
+    log(f"[{time.strftime('%H:%M:%S')}] building detector C={c}")
+    path = "pallas"
+    try:
+        static, params_d, state, run = build_detector(path)
+    except Exception as e:  # pragma: no cover - kernel toolchain fallback
+        log(f"pallas kernel unavailable ({type(e).__name__}: {e}); "
+            "falling back to XLA scan")
+        path = "xla_scan"
+        static, params_d, state, run = build_detector(path)
 
     from onset_fingerprinting_tpu.detect.amplitude import warmup_minmax
     from onset_fingerprinting_tpu.ops.windows import top_hit_blocks
@@ -292,8 +300,23 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     # sync each stage by pulling a scalar reduction — through the axon
     # tunnel block_until_ready alone under-reports device time
     t0 = time.perf_counter()
-    _, (on, d, _) = run(state, xd)
-    _ = int(jnp.sum(on)) + int(jnp.sum(d))
+    try:
+        _, (on, d, _) = run(state, xd)
+        _ = int(jnp.sum(on)) + int(jnp.sum(d))
+    except Exception as e:  # pragma: no cover - lowering-time fallback
+        # Pallas failures can surface at first compile/run, not at build
+        # (e.g. a CPU backend rejects non-interpret pallas_call at
+        # lowering) — fall back to the XLA scan path here too
+        if path != "pallas":
+            raise
+        log(f"pallas kernel failed at compile/run ({type(e).__name__}: "
+            f"{e}); falling back to XLA scan")
+        path = "xla_scan"
+        static, params_d, state, run = build_detector(path)
+        state = warmup_minmax(static, params_d, state, xd[: 38 * 128])
+        t0 = time.perf_counter()
+        _, (on, d, _) = run(state, xd)
+        _ = int(jnp.sum(on)) + int(jnp.sum(d))
     t_detect_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     preds, n_hits, n_dropped = fingerprint(fp_params, xd, on, d)
