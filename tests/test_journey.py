@@ -211,3 +211,115 @@ def test_journey_by_channel_full_head(tmp_path):
     assert med < 0.5 * base, (
         f"not clearly better than predict-mean ({med:.2f} vs {base:.2f})"
     )
+
+
+@pytest.mark.slow
+def test_zone_classifier_serve_journey(tmp_path):
+    """Zone-classification serve journey: train a spectral CNN on labeled
+    hits, attach it to the engine's on-device ring classifier, stream
+    fresh audio, and classify the harvested hits — the reference's
+    zone-model serving idea (torch model per located hit) through
+    SURVEY §7's detect→locate→classify design.  Center vs rim hits on the
+    modal drum (well-separated bands; the HARD adjacent-zone ceiling is
+    characterized separately in examples/zone_classifier_demo.py)."""
+    import jax.numpy as jnp
+
+    from onset_fingerprinting_tpu.core.config import (
+        DetectorConfig,
+        TrainConfig,
+    )
+    from onset_fingerprinting_tpu.data.synth import modal_hit
+    from onset_fingerprinting_tpu.locate import Multilaterate3D
+    from onset_fingerprinting_tpu.models import CNN, Trainer
+    from onset_fingerprinting_tpu.realtime.engine import RealtimeEngine
+
+    sensors = [(0.9, 0.0), (0.9, 120.0), (0.9, 240.0)]
+    bands = [(0.06, 0.22), (0.68, 0.86)]  # center vs rim (r fractions)
+    spacing, w, pre = 6000, 256, 64
+
+    def zone_audio(seed, n_per_zone):
+        rng = np.random.default_rng(seed)
+        n = spacing * (2 * n_per_zone + 3)
+        audio = rng.normal(0, 1e-4, (n, 3)).astype(np.float32)
+        onsets, zones = [], []
+        for i in range(2 * n_per_zone):
+            z = i % 2
+            lo, hi = bands[z]
+            r = float(np.sqrt(rng.uniform(lo**2, hi**2)))
+            hit, delays = modal_hit(
+                rng, r, float(rng.uniform(0, 360)), sensors=sensors,
+                sr=SR, n=1024, velocity=float(rng.uniform(0.5, 1.0)),
+            )
+            base = spacing * (i + 1)
+            audio[base : base + 1024] += hit
+            onsets.append(base + int(round(delays.min())))
+            zones.append(z)
+        return audio, np.asarray(onsets), np.asarray(zones)
+
+    def spectra(wins):  # [B, C, W] raw → [B, C, W/2+1] log magnitude
+        return np.log1p(np.abs(np.fft.rfft(wins, axis=-1))).astype(
+            np.float32
+        )
+
+    # 1. labeled training hits; train on log-|rfft| of onset windows with
+    # shift augmentation matching serve-side onset jitter
+    audio, onsets, zones = zone_audio(seed=21, n_per_zone=24)
+    wins, y = [], []
+    for shift in (-16, 0, 16):
+        starts = onsets - pre + shift
+        wins.append(np.stack([audio[s : s + w].T for s in starts]))
+        y.append(zones)
+    x_train = spectra(np.concatenate(wins))
+    y_train = np.concatenate(y)
+
+    cnn = CNN(output_size=2, layer_sizes=(8,), kernel_size=5,
+              dropout_rate=0.0, pool=True)
+    trainer = Trainer(cnn, TrainConfig(
+        lr=3e-3, num_epochs=300, patience=300, loss="xent", seed=0,
+    ))
+    state = trainer.fit((x_train, y_train), epochs_per_step=50)
+    train_acc = float(np.mean(
+        np.argmax(trainer.predict(state, x_train), axis=1) == y_train
+    ))
+    assert train_acc > 0.9, f"train acc {train_acc:.2f}"
+
+    # 2. serve fresh audio: detect→locate on the engine, classify hits
+    # from the device ring via the attached model (spectral transform
+    # embedded in a duck-typed apply so it runs inside the same dispatch)
+    class SpectralCNN:
+        def apply(self, params, raw):  # [K, C, W] from the ring
+            f = jnp.log1p(jnp.abs(jnp.fft.rfft(raw, axis=-1)))
+            return cnn.apply(params, f)
+
+    cfg = DetectorConfig(
+        n_channels=3, block_size=128, hipass_freq=0.0, sr=SR,
+        on_threshold=0.45, off_threshold=0.45, cooldown=1323,
+    )
+    locator = Multilaterate3D(
+        [[r, phi, 0.0] for r, phi in sensors], medium="air", sr=SR
+    )
+    engine = RealtimeEngine(cfg, locator)
+    engine.attach_classifier(
+        SpectralCNN(), {"params": state.params}, window=w, pre=pre,
+        capacity=8,
+    )
+    s_audio, s_onsets, s_zones = zone_audio(seed=33, n_per_zone=8)
+    warm = spacing  # lead-in noise before the first hit
+    engine.warmup(s_audio[: warm - (warm % 128)])
+    w0 = warm - (warm % 128)
+    for i in range(w0 // 128, len(s_audio) // 128):
+        engine.process(s_audio[i * 128 : (i + 1) * 128])
+    events = engine.harvest()
+    assert len(events) >= 0.8 * len(s_onsets), f"{len(events)} events"
+    preds = np.argmax(engine.classify_hits(events), axis=1)
+    # match events to truth by time (engine counts from the first
+    # process() call — warmup does not write the ring)
+    correct = total = 0
+    for (onset, _loc), p in zip(events, preds):
+        j = int(np.argmin(np.abs(s_onsets - (w0 + onset))))
+        if abs(int(s_onsets[j]) - (w0 + onset)) < spacing // 2:
+            total += 1
+            correct += int(p == s_zones[j])
+    acc = correct / max(total, 1)
+    assert total >= 0.8 * len(s_onsets)
+    assert acc >= 0.85, f"serve zone accuracy {acc:.2f} over {total} hits"
