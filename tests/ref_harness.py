@@ -1,0 +1,119 @@
+"""Load reference modules LIVE for parity testing.
+
+Machinery shared by the ``test_reference_*_parity`` modules: copy a
+reference source file to a scratch dir, compile its C dependency there
+(the reference loads ``envelope_follower.so`` from next to its own file,
+and the checkout is read-only), satisfy its unused/external imports with
+stubs, and load it standalone via importlib — no reference code enters
+this repository; the reference runs as an external golden oracle.
+
+Stubs provided:
+
+- ``librosa`` — only the spectral-detection path touches it; stubbed
+  empty so the module imports.
+- ``loopmate.circular_array.CircularArray`` — satisfied by OUR host
+  ``core.ring_buffer.CircularArray`` (API-parity by construction:
+  reference detection.py:719-721 uses ``write`` / ``[-N:]`` / ``.N``).
+- a synthetic ``onset_fingerprinting`` parent package exposing the
+  already-loaded ``detection`` module, for reference modules that do
+  ``from onset_fingerprinting import detection``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import shutil
+import subprocess
+import sys
+import types
+from pathlib import Path
+
+REF_PKG = Path("/root/reference/onset_fingerprinting")
+
+
+def reference_available() -> bool:
+    return (
+        (REF_PKG / "detection.py").exists()
+        and (shutil.which("gcc") or shutil.which("cc")) is not None
+    )
+
+
+def skip_reason() -> str:
+    if not (REF_PKG / "detection.py").exists():
+        return "reference checkout not available"
+    return "no C compiler available"
+
+
+def _compile_envelope_follower(workdir: Path) -> None:
+    cc = shutil.which("gcc") or shutil.which("cc")
+    shutil.copy(
+        REF_PKG / "envelope_follower.c", workdir / "envelope_follower.c"
+    )
+    # -O2 -ffp-contract=off: IEEE f32 op-for-op semantics (no fast-math,
+    # no FMA contraction) so parity tests compare algorithms, not
+    # compiler scheduling
+    subprocess.run(
+        [cc, "-shared", "-fPIC", "-O2", "-ffp-contract=off",
+         "-o", str(workdir / "envelope_follower.so"),
+         str(workdir / "envelope_follower.c"), "-lm"],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load_standalone(name: str, path: Path, extra_modules: dict):
+    """Import ``path`` as module ``name`` with ``extra_modules`` visible in
+    sys.modules during the import only."""
+    saved = {k: sys.modules.get(k) for k in extra_modules}
+    sys.modules.update(extra_modules)
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def _dep_stubs() -> dict:
+    from onset_fingerprinting_tpu.core.ring_buffer import CircularArray
+
+    stubs: dict = {}
+    if "librosa" not in sys.modules:
+        stubs["librosa"] = types.ModuleType("librosa")
+    lm = types.ModuleType("loopmate")
+    lmca = types.ModuleType("loopmate.circular_array")
+    lmca.CircularArray = CircularArray
+    lm.circular_array = lmca
+    stubs["loopmate"] = lm
+    stubs["loopmate.circular_array"] = lmca
+    return stubs
+
+
+def load_detection(workdir: Path):
+    """Reference ``detection.py`` with its C library compiled alongside."""
+    shutil.copy(REF_PKG / "detection.py", workdir / "detection.py")
+    _compile_envelope_follower(workdir)
+    return _load_standalone(
+        "_ref_detection", workdir / "detection.py", _dep_stubs()
+    )
+
+
+def load_multilateration(workdir: Path):
+    """Reference ``multilateration.py`` (pulls in detection.py too)."""
+    det = load_detection(workdir)
+    shutil.copy(
+        REF_PKG / "multilateration.py", workdir / "multilateration.py"
+    )
+    pkg = types.ModuleType("onset_fingerprinting")
+    pkg.detection = det
+    extra = _dep_stubs()
+    extra["onset_fingerprinting"] = pkg
+    extra["onset_fingerprinting.detection"] = det
+    return _load_standalone(
+        "_ref_multilateration", workdir / "multilateration.py", extra
+    )

@@ -26,11 +26,7 @@ Skips cleanly when the reference checkout or a C compiler is missing.
 
 from __future__ import annotations
 
-import importlib.util
-import shutil
-import subprocess
 import sys
-import types
 from pathlib import Path
 
 import numpy as np
@@ -38,7 +34,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-_REF_PKG = Path("/root/reference/onset_fingerprinting")
+from ref_harness import load_detection, reference_available, skip_reason
 
 SR = 96000
 BLOCK = 128
@@ -46,52 +42,9 @@ BLOCK = 128
 
 @pytest.fixture(scope="module")
 def ref_detection(tmp_path_factory):
-    if not (_REF_PKG / "detection.py").exists():
-        pytest.skip("reference checkout not available")
-    cc = shutil.which("gcc") or shutil.which("cc")
-    if cc is None:
-        pytest.skip("no C compiler available")
-
-    work = tmp_path_factory.mktemp("refpkg")
-    shutil.copy(_REF_PKG / "detection.py", work / "detection.py")
-    shutil.copy(_REF_PKG / "envelope_follower.c", work / "envelope_follower.c")
-    subprocess.run(
-        [cc, "-shared", "-fPIC", "-O2", "-ffp-contract=off",
-         "-o", str(work / "envelope_follower.so"),
-         str(work / "envelope_follower.c"), "-lm"],
-        check=True,
-        capture_output=True,
-    )
-
-    from onset_fingerprinting_tpu.core.ring_buffer import CircularArray
-
-    # stub the deps the amplitude path never calls: librosa (spectral path
-    # only) and loopmate (whose CircularArray contract our host class
-    # implements — reference detection.py:719-721 uses write/[-N:]/.N)
-    stubs = {}
-    if "librosa" not in sys.modules:
-        stubs["librosa"] = types.ModuleType("librosa")
-    lm = types.ModuleType("loopmate")
-    lmca = types.ModuleType("loopmate.circular_array")
-    lmca.CircularArray = CircularArray
-    lm.circular_array = lmca
-    stubs["loopmate"] = lm
-    stubs["loopmate.circular_array"] = lmca
-    saved = {k: sys.modules.get(k) for k in stubs}
-    sys.modules.update(stubs)
-    try:
-        spec = importlib.util.spec_from_file_location(
-            "_ref_detection", work / "detection.py"
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
-    return mod
+    if not reference_available():
+        pytest.skip(skip_reason())
+    return load_detection(tmp_path_factory.mktemp("refpkg"))
 
 
 def _hit_audio(n_channels: int, seconds: float = 1.0, seed: int = 0):
