@@ -32,6 +32,8 @@ import numpy as np
 from onset_fingerprinting_tpu.models.fcnn import ACTIVATIONS, FCNN, FCNNBundle
 
 __all__ = [
+    "cccnn_from_model_args",
+    "cccnn_variables_from_state_dict",
     "fcnn_from_model_args",
     "fcnn_variables_from_state_dict",
     "load_reference_setup",
@@ -150,6 +152,134 @@ def fcnn_variables_from_state_dict(
     if batch_stats:
         variables["batch_stats"] = batch_stats
     return variables
+
+
+def cccnn_from_model_args(model_args: Mapping):
+    """Build the flax CCCNN matching a reference ``model_args`` dict.
+
+    Field names are 1:1 with the reference's CCCNN constructor
+    (model.py:445-459) except ``input_size`` (flax infers it) and
+    ``activation`` (a lowercase string here, a torch class there).
+    """
+    from onset_fingerprinting_tpu.models.cccnn import CCCNN
+
+    args = dict(model_args)
+    args.pop("input_size", None)
+    act = args.pop("activation", "silu")
+    if not isinstance(act, str):
+        act = getattr(act, "__name__", str(act))
+    act = act.lower()
+    if act not in ACTIVATIONS:
+        raise ValueError(
+            f"unsupported activation {act!r} in model_args; "
+            f"known: {sorted(ACTIVATIONS)}"
+        )
+    for key in ("layer_sizes", "kernel_sizes", "strides"):
+        if key in args and not isinstance(args[key], int):
+            args[key] = tuple(args[key])
+    return CCCNN(activation=act, **args)
+
+
+def cccnn_variables_from_state_dict(
+    state_dict: Mapping[str, "np.ndarray"], model
+) -> dict:
+    """Convert a reference-CCCNN torch ``state_dict`` to flax variables.
+
+    Accepts both a bare ``CCCNN.state_dict()`` and an ``LCCCNN``
+    (Lightning wrapper, model.py:542-629) state_dict — the latter's
+    ``model.`` key prefix is stripped.  Reference layout (model.py:475-513):
+    ``conv_layers.conv{i}`` Conv1d tensors (optionally
+    ``conv_layers.bn{i}`` GroupNorm(1, ·)) and the ``fc`` Linear head.
+    Mapping:
+
+    - ``conv_layers.conv{i}.weight [out, in, k]`` →
+      ``params/_ConvStack_0/Conv_{i-1}/kernel [k, in, out]``;
+      ``bias`` verbatim,
+    - ``conv_layers.bn{i}.{weight,bias}`` →
+      ``params/_ConvStack_0/GroupNorm_{i-1}/{scale,bias}``,
+    - ``fc.{weight,bias}`` → ``params/Dense_0/{kernel.T,bias}`` — valid
+      because the per-channel SELF-correlation is an even function of
+      lag, so the reference's grouped-conv lag ordering and our
+      FFT/DFT ordering feed the head identical vectors.
+
+    :param model: the flax CCCNN the variables must fit (same
+        ``layer_sizes``/``batch_norm`` the checkpoint was trained with;
+        ``cc_norm`` must be False — the redesigned head has a different
+        fc shape by construction).
+    :raises NotImplementedError: for ``group=True`` checkpoints — the
+        reference normalizes all C·K grouped features jointly in ONE
+        GroupNorm (model.py:502) while our vmapped group path normalizes
+        per channel; the conversion would silently change eval outputs.
+    :raises ValueError: on layer-count/shape mismatches.
+    """
+    if getattr(model, "group", False):
+        raise NotImplementedError(
+            "group=True CCCNN checkpoints are not convertible: the "
+            "reference's single GroupNorm spans all channels' features "
+            "jointly; re-train with the native trainer instead"
+        )
+    if getattr(model, "cc_norm", False):
+        raise ValueError(
+            "cc_norm=True changes the dense-head input layout; reference "
+            "checkpoints only fit cc_norm=False models"
+        )
+
+    def to_np(t):
+        return np.asarray(getattr(t, "numpy", lambda: t)(), np.float32)
+
+    convs: dict[int, dict[str, np.ndarray]] = {}
+    norms: dict[int, dict[str, np.ndarray]] = {}
+    fc: dict[str, np.ndarray] = {}
+    for key, tensor in state_dict.items():
+        parts = key.split(".")
+        if parts[0] == "model":  # LCCCNN wrapper prefix
+            parts = parts[1:]
+        if parts[-1] == "num_batches_tracked":
+            continue
+        arr = to_np(tensor)
+        if parts[0] == "fc":
+            fc[parts[-1]] = arr
+        elif parts[0] == "conv_layers" and parts[1].startswith("conv"):
+            convs.setdefault(int(parts[1][4:]), {})[parts[-1]] = arr
+        elif parts[0] == "conv_layers" and parts[1].startswith("bn"):
+            norms.setdefault(int(parts[1][2:]), {})[parts[-1]] = arr
+        else:
+            raise ValueError(f"unrecognized state_dict key {key!r}")
+
+    n_layers = len(model.layer_sizes)
+    want_norms = n_layers if model.batch_norm else 0
+    if len(convs) != n_layers or len(norms) != want_norms or not fc:
+        raise ValueError(
+            f"state_dict has {len(convs)} conv / {len(norms)} norm layers "
+            f"and {'a' if fc else 'no'} fc head; model expects "
+            f"{n_layers} / {want_norms} "
+            f"(layer_sizes={tuple(model.layer_sizes)}, "
+            f"batch_norm={model.batch_norm})"
+        )
+
+    stack: dict[str, dict] = {}
+    for i in sorted(convs):
+        slot = convs[i]
+        # torch Conv1d [out, in, k] → flax nn.Conv [k, in, out]
+        stack[f"Conv_{i - 1}"] = {
+            "kernel": slot["weight"].transpose(2, 1, 0),
+            "bias": slot["bias"],
+        }
+        if model.layer_sizes[i - 1] != slot["weight"].shape[0]:
+            raise ValueError(
+                f"conv{i} has {slot['weight'].shape[0]} output features; "
+                f"model_args layer_sizes says {model.layer_sizes[i - 1]}"
+            )
+    for i in sorted(norms):
+        stack[f"GroupNorm_{i - 1}"] = {
+            "scale": norms[i]["weight"],
+            "bias": norms[i]["bias"],
+        }
+    params = {
+        "_ConvStack_0": stack,
+        "Dense_0": {"kernel": fc["weight"].T, "bias": fc["bias"]},
+    }
+    return {"params": params}
 
 
 def load_reference_setup(

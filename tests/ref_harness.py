@@ -103,6 +103,33 @@ def load_detection(workdir: Path):
     )
 
 
+def load_model(workdir: Path):
+    """Reference ``model.py`` (torch models; Lightning wrappers stubbed).
+
+    ``lightning`` is absent from the image — stubbed with a bare
+    ``LightningModule`` base class, which is all the class *definitions*
+    need; the torch ``CCCNN``/``CNN``/``RNN`` cores are fully functional.
+    ``onset_fingerprinting.plots`` is only touched inside Lightning
+    ``test_step`` methods and is stubbed empty.
+    """
+    shutil.copy(REF_PKG / "model.py", workdir / "model.py")
+    extra = _dep_stubs()
+    if "lightning" not in sys.modules:
+        lightning = types.ModuleType("lightning")
+
+        class LightningModule:  # noqa: D401 - minimal base for class defs
+            def __init__(self, *a, **k):
+                pass
+
+        lightning.LightningModule = LightningModule
+        extra["lightning"] = lightning
+    pkg = types.ModuleType("onset_fingerprinting")
+    pkg.plots = types.ModuleType("onset_fingerprinting.plots")
+    extra["onset_fingerprinting"] = pkg
+    extra["onset_fingerprinting.plots"] = pkg.plots
+    return _load_standalone("_ref_model", workdir / "model.py", extra)
+
+
 def load_multilateration(workdir: Path):
     """Reference ``multilateration.py`` (pulls in detection.py too)."""
     det = load_detection(workdir)
