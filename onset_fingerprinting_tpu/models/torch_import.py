@@ -34,6 +34,8 @@ from onset_fingerprinting_tpu.models.fcnn import ACTIVATIONS, FCNN, FCNNBundle
 __all__ = [
     "cccnn_from_model_args",
     "cccnn_variables_from_state_dict",
+    "cnn_from_model_args",
+    "cnn_variables_from_state_dict",
     "fcnn_from_model_args",
     "fcnn_variables_from_state_dict",
     "load_reference_setup",
@@ -148,6 +150,131 @@ def fcnn_variables_from_state_dict(
             f"(hidden_layers={tuple(model.hidden_layers)}, "
             f"batch_norm={model.batch_norm})"
         )
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return variables
+
+
+def cnn_from_model_args(model_args: Mapping):
+    """Build the flax CNN matching a reference ``model_args`` dict
+    (reference CNN ctor, model.py:58-75).  Training-only kwargs (``loss``,
+    ``lr``) and ``input_size``/``channels`` (shape-inferred at init) are
+    dropped."""
+    from onset_fingerprinting_tpu.models.cnn import CNN
+
+    args = dict(model_args)
+    for k in ("input_size", "channels", "loss", "lr"):
+        args.pop(k, None)
+    act = args.pop("activation", "silu")
+    if not isinstance(act, str):
+        act = getattr(act, "__name__", str(act))
+    act = act.lower()
+    if act not in ACTIVATIONS:
+        raise ValueError(
+            f"unsupported activation {act!r} in model_args; "
+            f"known: {sorted(ACTIVATIONS)}"
+        )
+    if "layer_sizes" in args:
+        args["layer_sizes"] = tuple(args["layer_sizes"])
+    return CNN(activation=act, **args)
+
+
+def cnn_variables_from_state_dict(
+    state_dict: Mapping[str, "np.ndarray"],
+    model,
+    input_size: int,
+    channels: int,
+) -> dict:
+    """Convert a reference-CNN torch ``state_dict`` to flax variables.
+
+    Reference layout (model.py:85-113): ``conv_layers.conv{i}`` Conv1d,
+    optional ``conv_layers.bn{i}`` BatchNorm1d, and the flat ``fc`` head.
+    Conv kernels transpose ``[out, in/groups, k]`` → ``[k, in/groups,
+    out]``; BatchNorm running stats land in ``batch_stats``.  The flat
+    head needs a LAYOUT PERMUTATION: torch flattens the final feature
+    maps channel-major (``[C_last, V_last]``) while the flax model
+    flattens the NWC activations position-major (``[V_last, C_last]``) —
+    so the fc weight is reshaped ``[out, C, V]`` → ``[out, V, C]`` before
+    transposing, which is why this converter needs ``input_size`` and
+    ``channels`` (to recompute ``V_last`` through the conv arithmetic).
+
+    :raises ValueError: on depth/width/bn mismatches, unrecognized keys,
+        or an fc shape that does not factor as ``C_last * V_last``.
+    """
+
+    def to_np(t):
+        return np.asarray(getattr(t, "numpy", lambda: t)(), np.float32)
+
+    convs: dict[int, dict[str, np.ndarray]] = {}
+    bns: dict[int, dict[str, np.ndarray]] = {}
+    fc: dict[str, np.ndarray] = {}
+    for key, tensor in state_dict.items():
+        parts = key.split(".")
+        if parts[0] == "model":
+            parts = parts[1:]
+        if parts[-1] == "num_batches_tracked":
+            continue
+        arr = to_np(tensor)
+        if parts[0] == "fc":
+            fc[parts[-1]] = arr
+        elif parts[0] == "conv_layers" and parts[1].startswith("conv"):
+            convs.setdefault(int(parts[1][4:]), {})[parts[-1]] = arr
+        elif parts[0] == "conv_layers" and parts[1].startswith("bn"):
+            bns.setdefault(int(parts[1][2:]), {})[parts[-1]] = arr
+        else:
+            raise ValueError(f"unrecognized state_dict key {key!r}")
+
+    n_layers = len(model.layer_sizes)
+    want_bn = n_layers if model.batch_norm else 0
+    if len(convs) != n_layers or len(bns) != want_bn or not fc:
+        raise ValueError(
+            f"state_dict has {len(convs)} conv / {len(bns)} norm layers "
+            f"and {'a' if fc else 'no'} fc head; model expects "
+            f"{n_layers} / {want_bn} "
+            f"(layer_sizes={tuple(model.layer_sizes)}, "
+            f"batch_norm={model.batch_norm})"
+        )
+
+    params: dict[str, dict] = {}
+    batch_stats: dict[str, dict] = {}
+    v = input_size
+    for i in sorted(convs):
+        slot = convs[i]
+        if model.layer_sizes[i - 1] != slot["weight"].shape[0]:
+            raise ValueError(
+                f"conv{i} has {slot['weight'].shape[0]} output features; "
+                f"model_args layer_sizes says {model.layer_sizes[i - 1]}"
+            )
+        params[f"Conv_{i - 1}"] = {
+            "kernel": slot["weight"].transpose(2, 1, 0),
+            "bias": slot["bias"],
+        }
+        k = slot["weight"].shape[-1]
+        v = v + 2 * model.padding - model.dilation * (k - 1)
+        if model.pool:
+            v //= 2
+    for i in sorted(bns):
+        params[f"BatchNorm_{i - 1}"] = {
+            "scale": bns[i]["weight"],
+            "bias": bns[i]["bias"],
+        }
+        batch_stats[f"BatchNorm_{i - 1}"] = {
+            "mean": bns[i]["running_mean"],
+            "var": bns[i]["running_var"],
+        }
+
+    c_last = model.layer_sizes[-1]
+    w = fc["weight"]
+    if w.shape[1] != c_last * v:
+        raise ValueError(
+            f"fc expects {w.shape[1]} inputs but the conv arithmetic gives "
+            f"C_last*V_last = {c_last}*{v} — wrong input_size/padding/"
+            "pool in model_args?"
+        )
+    # torch flattens [C, V]; the flax model flattens [V, C]
+    w = w.reshape(-1, c_last, v).transpose(0, 2, 1).reshape(-1, c_last * v)
+    params["Dense_0"] = {"kernel": w.T, "bias": fc["bias"]}
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats

@@ -115,10 +115,14 @@ def load_model(workdir: Path):
     shutil.copy(REF_PKG / "model.py", workdir / "model.py")
     extra = _dep_stubs()
     if "lightning" not in sys.modules:
+        import torch
+
         lightning = types.ModuleType("lightning")
 
-        class LightningModule:  # noqa: D401 - minimal base for class defs
-            def __init__(self, *a, **k):
+        # the real LightningModule IS an nn.Module subclass; deriving the
+        # stub from it keeps state_dict()/eval()/forward dispatch working
+        class LightningModule(torch.nn.Module):
+            def log(self, *a, **k):  # Lightning logging no-op
                 pass
 
         lightning.LightningModule = LightningModule
