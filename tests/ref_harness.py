@@ -134,6 +134,40 @@ def load_model(workdir: Path):
     return _load_standalone("_ref_model", workdir / "model.py", extra)
 
 
+def load_calibration(workdir: Path):
+    """Reference ``calibration.py`` (torch + scipy; self-importing).
+
+    The module does ``from onset_fingerprinting import calibration,
+    multilateration`` — including ITSELF — so the module object is
+    registered under that name before executing its body (the standard
+    circular-import mechanic, done by hand for a standalone load).
+    """
+    ml = load_multilateration(workdir)
+    shutil.copy(REF_PKG / "calibration.py", workdir / "calibration.py")
+    spec = importlib.util.spec_from_file_location(
+        "_ref_calibration", workdir / "calibration.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    pkg = types.ModuleType("onset_fingerprinting")
+    pkg.multilateration = ml
+    pkg.calibration = mod
+    extra = _dep_stubs()
+    extra["onset_fingerprinting"] = pkg
+    extra["onset_fingerprinting.multilateration"] = ml
+    extra["onset_fingerprinting.calibration"] = mod
+    saved = {k: sys.modules.get(k) for k in extra}
+    sys.modules.update(extra)
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
 def load_multilateration(workdir: Path):
     """Reference ``multilateration.py`` (pulls in detection.py too)."""
     det = load_detection(workdir)
