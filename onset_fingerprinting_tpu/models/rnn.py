@@ -74,7 +74,10 @@ class RNN(nn.Module):
                 run_stack(x[..., i : i + 2]) for i in range(channels - 1)
             ]
             out = jnp.concatenate(outs, axis=-1)
-        out = nn.LayerNorm()(out)
+        # torch-parity eps (nn.LayerNorm default 1e-5; flax's 1e-6 shifts
+        # low-variance post-RNN activations by ~1e-3 — matters for
+        # reference checkpoint imports, models/torch_import.py)
+        out = nn.LayerNorm(epsilon=1e-5)(out)
         out = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dropout_rate=self.dropout_rate,
@@ -100,6 +103,8 @@ class CNNRNN(nn.Module):
     groups: int = 1
     activation: str = "silu"
     num_heads: int = 2
+    #: stacked GRU layers over the feature-map sequence (model.py:373-379)
+    n_rnn_layers: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -121,7 +126,13 @@ class CNNRNN(nn.Module):
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
         # [B, L', K] → sequence over feature maps K, features = conv length L'
         h = jnp.swapaxes(h, 1, 2)
-        h = nn.RNN(nn.GRUCell(features=self.n_hidden))(h)
+        for i in range(self.n_rnn_layers):
+            h = nn.RNN(nn.GRUCell(features=self.n_hidden))(h)
+            # torch nn.GRU applies dropout between stacked layers only
+            if i + 1 < self.n_rnn_layers and self.dropout_rate > 0:
+                h = nn.Dropout(
+                    self.dropout_rate, deterministic=not train
+                )(h)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dropout_rate=self.dropout_rate,

@@ -36,9 +36,13 @@ __all__ = [
     "cccnn_variables_from_state_dict",
     "cnn_from_model_args",
     "cnn_variables_from_state_dict",
+    "cnnrnn_from_model_args",
+    "cnnrnn_variables_from_state_dict",
     "fcnn_from_model_args",
     "fcnn_variables_from_state_dict",
     "load_reference_setup",
+    "rnn_from_model_args",
+    "rnn_variables_from_state_dict",
 ]
 
 
@@ -407,6 +411,292 @@ def cccnn_variables_from_state_dict(
         "Dense_0": {"kernel": fc["weight"].T, "bias": fc["bias"]},
     }
     return {"params": params}
+
+
+def rnn_from_model_args(model_args: Mapping):
+    """Build the flax RNN matching a reference ``model_args`` dict
+    (reference RNN ctor, model.py:169-188).  ``batch_first=False`` has no
+    flax-side equivalent layout and is rejected; ``bias``/``activation``
+    are dropped (bias handled at weight-conversion time, activation unused
+    in the reference's forward)."""
+    from onset_fingerprinting_tpu.models.rnn import RNN
+
+    args = dict(model_args)
+    for k in ("input_size", "channels", "loss", "lr", "bias", "activation"):
+        args.pop(k, None)
+    if not args.pop("batch_first", True):
+        raise ValueError("batch_first=False checkpoints are not supported")
+    return RNN(**args)
+
+
+_GRU_GATES = ("r", "z", "n")
+_LSTM_GATES = ("i", "f", "g", "o")
+
+
+def _split_gates(w: "np.ndarray", n: int) -> list:
+    """Split torch's fused gate matrix/vector ``[n*H, ...]`` into n gates."""
+    h = w.shape[0] // n
+    return [w[g * h : (g + 1) * h] for g in range(n)]
+
+
+def _cell_params(
+    rnn_type: str,
+    w_ih: "np.ndarray",
+    w_hh: "np.ndarray",
+    b_ih: Optional["np.ndarray"],
+    b_hh: Optional["np.ndarray"],
+) -> dict:
+    """One torch recurrent layer → one flax cell's param dict.
+
+    torch computes every gate as ``W_ih x + b_ih + W_hh h + b_hh``; the
+    flax cells carry ONE bias per gate (two for the GRU candidate gate,
+    whose h-side bias sits inside the reset product, exactly like torch),
+    so the two torch biases are summed where flax has a single slot.
+    ``bias=False`` checkpoints convert exactly via zero biases.
+    """
+    h = w_hh.shape[1]
+    if b_ih is None:
+        b_ih = np.zeros(w_ih.shape[0], np.float32)
+    if b_hh is None:
+        b_hh = np.zeros(w_hh.shape[0], np.float32)
+    if rnn_type == "GRU":
+        wi = _split_gates(w_ih, 3)
+        wh = _split_gates(w_hh, 3)
+        bi = _split_gates(b_ih, 3)
+        bh = _split_gates(b_hh, 3)
+        return {
+            "ir": {"kernel": wi[0].T, "bias": bi[0] + bh[0]},
+            "iz": {"kernel": wi[1].T, "bias": bi[1] + bh[1]},
+            "in": {"kernel": wi[2].T, "bias": bi[2]},
+            "hr": {"kernel": wh[0].T},
+            "hz": {"kernel": wh[1].T},
+            "hn": {"kernel": wh[2].T, "bias": bh[2]},
+        }
+    if rnn_type == "LSTM":
+        wi = _split_gates(w_ih, 4)
+        wh = _split_gates(w_hh, 4)
+        bi = _split_gates(b_ih, 4)
+        bh = _split_gates(b_hh, 4)
+        out = {}
+        for g, gate in enumerate(_LSTM_GATES):
+            out[f"i{gate}"] = {"kernel": wi[g].T}
+            out[f"h{gate}"] = {"kernel": wh[g].T, "bias": bi[g] + bh[g]}
+        return out
+    # plain tanh RNN
+    assert h == w_ih.shape[0]
+    return {
+        "i": {"kernel": w_ih.T, "bias": b_ih + b_hh},
+        "h": {"kernel": w_hh.T},
+    }
+
+
+_CELL_NAMES = {"GRU": "GRUCell", "LSTM": "OptimizedLSTMCell", "RNN": "SimpleCell"}
+
+
+def _attention_params(sd: dict, heads: int) -> dict:
+    """torch ``nn.MultiheadAttention`` tensors (fused ``in_proj_weight``
+    ``[3E, E]`` stacking q/k/v) → flax ``MultiHeadDotProductAttention``
+    params (per-projection ``[E, heads, head_dim]``, torch's head-major
+    feature ordering).  Pops the ``attention.*`` keys from ``sd``."""
+    in_w = sd.pop("attention.in_proj_weight")
+    in_b = sd.pop("attention.in_proj_bias")
+    e = in_w.shape[1]
+    hd = e // heads
+    attn = {}
+    for i, name in enumerate(("query", "key", "value")):
+        attn[name] = {
+            "kernel": in_w[i * e : (i + 1) * e].T.reshape(e, heads, hd),
+            "bias": in_b[i * e : (i + 1) * e].reshape(heads, hd),
+        }
+    attn["out"] = {
+        "kernel": sd.pop("attention.out_proj.weight").T.reshape(heads, hd, e),
+        "bias": sd.pop("attention.out_proj.bias"),
+    }
+    return attn
+
+
+def rnn_variables_from_state_dict(
+    state_dict: Mapping[str, "np.ndarray"], model
+) -> dict:
+    """Convert a reference-RNN torch ``state_dict`` to flax variables.
+
+    Reference layout (model.py:216-238): a fused multi-layer
+    ``nn.GRU/LSTM/RNN`` (``rnn.weight_ih_l{k}[_reverse]`` …), a
+    ``layer_norm``, a ``MultiheadAttention`` (fused ``in_proj_weight``
+    holding the stacked q/k/v projections) and the ``fc`` head.  Gate
+    blocks split per flax cell (see :func:`_cell_params`); attention
+    projections reshape ``[E, E]`` → ``[E, heads, head_dim]`` with
+    torch's head-major feature ordering.
+
+    Known numerical caveat: flax LayerNorm uses eps=1e-6 vs torch's
+    1e-5 — ~1e-5 relative output drift, well inside the eval-parity bar.
+    """
+
+    def to_np(t):
+        return np.asarray(getattr(t, "numpy", lambda: t)(), np.float32)
+
+    sd = {}
+    for key, tensor in state_dict.items():
+        parts = key.split(".")
+        if parts[0] == "model":
+            parts = parts[1:]
+        sd[".".join(parts)] = to_np(tensor)
+
+    cell_name = _CELL_NAMES[model.rnn_type]
+    params: dict = {}
+    n_cells = 0
+    for layer in range(model.num_layers):
+        for suffix in ("", "_reverse") if model.bidirectional else ("",):
+            w_ih = sd.pop(f"rnn.weight_ih_l{layer}{suffix}", None)
+            if w_ih is None:
+                raise ValueError(
+                    f"state_dict lacks rnn layer {layer}{suffix or ''} — "
+                    f"model expects num_layers={model.num_layers}, "
+                    f"bidirectional={model.bidirectional}"
+                )
+            params[f"{cell_name}_{n_cells}"] = _cell_params(
+                model.rnn_type,
+                w_ih,
+                sd.pop(f"rnn.weight_hh_l{layer}{suffix}"),
+                sd.pop(f"rnn.bias_ih_l{layer}{suffix}", None),
+                sd.pop(f"rnn.bias_hh_l{layer}{suffix}", None),
+            )
+            n_cells += 1
+    if any(k.startswith("rnn.") for k in sd):
+        extra = [k for k in sd if k.startswith("rnn.")]
+        raise ValueError(
+            f"unconsumed rnn tensors {extra} — model_args num_layers/"
+            "bidirectional disagree with the checkpoint"
+        )
+
+    params["LayerNorm_0"] = {
+        "scale": sd.pop("layer_norm.weight"),
+        "bias": sd.pop("layer_norm.bias"),
+    }
+
+    params["MultiHeadDotProductAttention_0"] = _attention_params(
+        sd, model.num_heads
+    )
+
+    params["Dense_0"] = {
+        "kernel": sd.pop("fc.weight").T,
+        "bias": sd.pop("fc.bias"),
+    }
+    if sd:
+        raise ValueError(f"unrecognized state_dict keys {sorted(sd)}")
+    return {"params": params}
+
+
+def cnnrnn_from_model_args(model_args: Mapping):
+    """Build the flax CNNRNN matching a reference ``model_args`` dict
+    (reference CNNRNN ctor, model.py:311-329)."""
+    from onset_fingerprinting_tpu.models.rnn import CNNRNN
+
+    args = dict(model_args)
+    for k in ("input_size", "channels", "loss", "lr"):
+        args.pop(k, None)
+    act = args.pop("activation", "silu")
+    if not isinstance(act, str):
+        act = getattr(act, "__name__", str(act))
+    act = act.lower()
+    if act not in ACTIVATIONS:
+        raise ValueError(
+            f"unsupported activation {act!r} in model_args; "
+            f"known: {sorted(ACTIVATIONS)}"
+        )
+    if "layer_sizes" in args:
+        args["layer_sizes"] = tuple(args["layer_sizes"])
+    return CNNRNN(activation=act, **args)
+
+
+def cnnrnn_variables_from_state_dict(
+    state_dict: Mapping[str, "np.ndarray"], model
+) -> dict:
+    """Convert a reference-CNNRNN torch ``state_dict`` to flax variables.
+
+    Conv/BatchNorm mapping as in :func:`cnn_variables_from_state_dict`
+    (no fc flatten permutation — the conv output feeds the GRU as a
+    ``[B, K, V]`` sequence unflattened, model.py:391-396); GRU layers via
+    :func:`_cell_params`; attention via :func:`_attention_params`.
+    """
+
+    def to_np(t):
+        return np.asarray(getattr(t, "numpy", lambda: t)(), np.float32)
+
+    sd = {}
+    convs: dict[int, dict[str, np.ndarray]] = {}
+    bns: dict[int, dict[str, np.ndarray]] = {}
+    for key, tensor in state_dict.items():
+        parts = key.split(".")
+        if parts[0] == "model":
+            parts = parts[1:]
+        if parts[-1] == "num_batches_tracked":
+            continue
+        arr = to_np(tensor)
+        if parts[0] == "conv_layers" and parts[1].startswith("conv"):
+            convs.setdefault(int(parts[1][4:]), {})[parts[-1]] = arr
+        elif parts[0] == "conv_layers" and parts[1].startswith("bn"):
+            bns.setdefault(int(parts[1][2:]), {})[parts[-1]] = arr
+        else:
+            sd[".".join(parts)] = arr
+
+    n_layers = len(model.layer_sizes)
+    want_bn = n_layers if model.batch_norm else 0
+    if len(convs) != n_layers or len(bns) != want_bn:
+        raise ValueError(
+            f"state_dict has {len(convs)} conv / {len(bns)} norm layers; "
+            f"model expects {n_layers} / {want_bn}"
+        )
+
+    params: dict = {}
+    batch_stats: dict = {}
+    for i in sorted(convs):
+        params[f"Conv_{i - 1}"] = {
+            "kernel": convs[i]["weight"].transpose(2, 1, 0),
+            "bias": convs[i]["bias"],
+        }
+    for i in sorted(bns):
+        params[f"BatchNorm_{i - 1}"] = {
+            "scale": bns[i]["weight"],
+            "bias": bns[i]["bias"],
+        }
+        batch_stats[f"BatchNorm_{i - 1}"] = {
+            "mean": bns[i]["running_mean"],
+            "var": bns[i]["running_var"],
+        }
+
+    for layer in range(model.n_rnn_layers):
+        w_ih = sd.pop(f"rnn.weight_ih_l{layer}", None)
+        if w_ih is None:
+            raise ValueError(
+                f"state_dict lacks rnn layer {layer} — model expects "
+                f"n_rnn_layers={model.n_rnn_layers}"
+            )
+        params[f"GRUCell_{layer}"] = _cell_params(
+            "GRU",
+            w_ih,
+            sd.pop(f"rnn.weight_hh_l{layer}"),
+            sd.pop(f"rnn.bias_ih_l{layer}", None),
+            sd.pop(f"rnn.bias_hh_l{layer}", None),
+        )
+    if any(k.startswith("rnn.") for k in sd):
+        raise ValueError(
+            "unconsumed rnn tensors — model n_rnn_layers disagrees with "
+            "the checkpoint"
+        )
+    params["MultiHeadDotProductAttention_0"] = _attention_params(
+        sd, model.num_heads
+    )
+    params["Dense_0"] = {
+        "kernel": sd.pop("fc.weight").T,
+        "bias": sd.pop("fc.bias"),
+    }
+    if sd:
+        raise ValueError(f"unrecognized state_dict keys {sorted(sd)}")
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return variables
 
 
 def load_reference_setup(
