@@ -63,9 +63,12 @@ class FrameExtractor:
         if audio.ndim == 2:
             if self.use_min_onset:
                 starts = onsets.min(axis=1) - offset
-                return np.asarray(
-                    extract_frames(audio, jnp.asarray(starts), self.frame_length)
-                )
+                f = extract_frames(audio, jnp.asarray(starts), self.frame_length)
+                # [O, frame, C] gather → the reference's [O, C, frame]
+                # layout (data.py:108-110 sliding_window_view puts the
+                # window axis last) — matches the per-channel branch and
+                # FastFrameExtractor
+                return np.asarray(jnp.swapaxes(f, 1, 2))
             # per-channel windows → [O, C, frame]
             if self.max_shift and np.ndim(offset) == 1:
                 offset = offset[:, None]

@@ -134,6 +134,37 @@ def load_model(workdir: Path):
     return _load_standalone("_ref_model", workdir / "model.py", extra)
 
 
+def load_data(workdir: Path):
+    """Reference ``data.py`` (frame extractors, datasets).
+
+    Module-level code instantiates ``audiomentations`` transforms, so the
+    stub's attribute lookup hands back a no-op transform factory; librosa/
+    soundfile are only touched inside feature/IO helpers and stub empty.
+    """
+    shutil.copy(REF_PKG / "data.py", workdir / "data.py")
+    extra = _dep_stubs()
+
+    class _NoopTransform:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, samples, sample_rate=None):
+            return samples
+
+    class _AudiomentationsStub(types.ModuleType):
+        def __getattr__(self, name):
+            return _NoopTransform
+
+    for name in ("audiomentations", "soundfile"):
+        if name not in sys.modules:
+            extra[name] = (
+                _AudiomentationsStub(name)
+                if name == "audiomentations"
+                else types.ModuleType(name)
+            )
+    return _load_standalone("_ref_data", workdir / "data.py", extra)
+
+
 def load_calibration(workdir: Path):
     """Reference ``calibration.py`` (torch + scipy; self-importing).
 

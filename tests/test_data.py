@@ -36,8 +36,9 @@ class TestFrameExtractors:
         onsets = np.array([[100, 105, 102], [500, 498, 510]])
         fx = FrameExtractor(64, 0)
         frames = fx(audio, onsets)
-        assert frames.shape == (2, 64, 3)
-        np.testing.assert_allclose(frames[1], audio[498 : 498 + 64])
+        # reference layout [O, C, frame] (data.py:108-110)
+        assert frames.shape == (2, 3, 64)
+        np.testing.assert_allclose(frames[1], audio[498 : 498 + 64].T)
 
     def test_frame_extractor_per_channel(self, rng):
         audio = rng.normal(size=(4096, 2)).astype(np.float32)
