@@ -165,6 +165,13 @@ def load_data(workdir: Path):
     return _load_standalone("_ref_data", workdir / "data.py", extra)
 
 
+def load_utils(workdir: Path):
+    """Reference ``utils.py`` (pure numpy/scipy/sklearn; no stubs needed
+    beyond the standard set)."""
+    shutil.copy(REF_PKG / "utils.py", workdir / "utils.py")
+    return _load_standalone("_ref_utils", workdir / "utils.py", _dep_stubs())
+
+
 def load_calibration(workdir: Path):
     """Reference ``calibration.py`` (torch + scipy; self-importing).
 
