@@ -69,6 +69,10 @@ def _load_standalone(name: str, path: Path, extra_modules: dict):
     try:
         spec = importlib.util.spec_from_file_location(name, path)
         mod = importlib.util.module_from_spec(spec)
+        # register under its own (unique _ref_*) name BEFORE exec and keep
+        # it: dataclasses resolves string annotations via
+        # sys.modules[cls.__module__] lazily, at class creation and later
+        sys.modules[name] = mod
         spec.loader.exec_module(mod)
     finally:
         for k, v in saved.items():
