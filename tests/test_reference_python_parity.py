@@ -113,3 +113,34 @@ def test_detector_event_stream_matches_reference(ref_detection, backtrack):
         f"reference found only {len(ev_ref)} events — fixture too timid"
     )
     assert ev_tpu == ev_ref
+
+
+def test_detector_after_warmup_matches_reference(ref_detection):
+    """init_minmax_tracker (detection.py:827-841) warm-up parity: warm both
+    detectors on the same lead-in, then the subsequent streamed event
+    streams must still be identical (the warm-up advances the filters,
+    envelopes and min/max tracker consistently)."""
+    from onset_fingerprinting_tpu.core.config import DetectorConfig
+    from onset_fingerprinting_tpu.detect.amplitude import (
+        AmplitudeOnsetDetector,
+    )
+
+    n_channels = 2
+    x, injected = _hit_audio(n_channels, seconds=1.5, seed=3)
+    warm, live = x[: SR // 2], x[SR // 2 :]
+
+    od_ref = ref_detection.AmplitudeOnsetDetector(
+        n_channels, block_size=BLOCK, sr=SR
+    )
+    od_tpu = AmplitudeOnsetDetector(
+        cfg=DetectorConfig(
+            n_channels=n_channels, block_size=BLOCK, sr=SR
+        )
+    )
+    od_ref.init_minmax_tracker(warm)
+    od_tpu.init_minmax_tracker(warm)
+
+    ev_ref = _stream(od_ref, live)
+    ev_tpu = _stream(od_tpu, live)
+    assert len(ev_ref) >= 3, "fixture produced too few post-warmup events"
+    assert ev_tpu == ev_ref
