@@ -528,8 +528,10 @@ def rnn_variables_from_state_dict(
     projections reshape ``[E, E]`` → ``[E, heads, head_dim]`` with
     torch's head-major feature ordering.
 
-    Known numerical caveat: flax LayerNorm uses eps=1e-6 vs torch's
-    1e-5 — ~1e-5 relative output drift, well inside the eval-parity bar.
+    The flax RNN's LayerNorm runs at torch-parity eps=1e-5 (models/rnn.py
+    sets it explicitly; flax's default 1e-6 would shift activations ~1e-3
+    on short windows), so converted checkpoints evaluate without a
+    normalization offset.
     """
 
     def to_np(t):

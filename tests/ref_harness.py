@@ -61,18 +61,16 @@ def _compile_envelope_follower(workdir: Path) -> None:
     )
 
 
-def _load_standalone(name: str, path: Path, extra_modules: dict):
-    """Import ``path`` as module ``name`` with ``extra_modules`` visible in
-    sys.modules during the import only."""
+def _exec_with_modules(spec, mod, extra_modules: dict):
+    """Execute ``mod`` (created from ``spec``) with ``extra_modules``
+    visible in sys.modules during the import only.  The module stays
+    registered under its own (unique ``_ref_*``) name afterwards:
+    dataclasses resolves string annotations via
+    ``sys.modules[cls.__module__]`` lazily, at class creation and later."""
     saved = {k: sys.modules.get(k) for k in extra_modules}
     sys.modules.update(extra_modules)
+    sys.modules[spec.name] = mod
     try:
-        spec = importlib.util.spec_from_file_location(name, path)
-        mod = importlib.util.module_from_spec(spec)
-        # register under its own (unique _ref_*) name BEFORE exec and keep
-        # it: dataclasses resolves string annotations via
-        # sys.modules[cls.__module__] lazily, at class creation and later
-        sys.modules[name] = mod
         spec.loader.exec_module(mod)
     finally:
         for k, v in saved.items():
@@ -81,6 +79,14 @@ def _load_standalone(name: str, path: Path, extra_modules: dict):
             else:
                 sys.modules[k] = v
     return mod
+
+
+def _load_standalone(name: str, path: Path, extra_modules: dict):
+    """Import ``path`` as module ``name`` with ``extra_modules`` visible in
+    sys.modules during the import only."""
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    return _exec_with_modules(spec, mod, extra_modules)
 
 
 def _dep_stubs() -> dict:
@@ -189,6 +195,8 @@ def load_calibration(workdir: Path):
     spec = importlib.util.spec_from_file_location(
         "_ref_calibration", workdir / "calibration.py"
     )
+    # the module object must exist BEFORE exec so the synthetic parent
+    # package can hand it back for the self-import
     mod = importlib.util.module_from_spec(spec)
     pkg = types.ModuleType("onset_fingerprinting")
     pkg.multilateration = ml
@@ -197,17 +205,7 @@ def load_calibration(workdir: Path):
     extra["onset_fingerprinting"] = pkg
     extra["onset_fingerprinting.multilateration"] = ml
     extra["onset_fingerprinting.calibration"] = mod
-    saved = {k: sys.modules.get(k) for k in extra}
-    sys.modules.update(extra)
-    try:
-        spec.loader.exec_module(mod)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
-    return mod
+    return _exec_with_modules(spec, mod, extra)
 
 
 def load_multilateration(workdir: Path):

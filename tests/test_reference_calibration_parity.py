@@ -12,15 +12,16 @@ HAND-WRITTEN jacobians (calibration.py:48-209); ours come from
 
 Documented reference defect found by these tests: the reference's
 hand-written ``tdoa_calib_loss_jac`` is a uniformly MIS-SCALED gradient
-of its own loss — measured exactly ``C·(S-1)/n_hits`` × the numerical
-gradient (49× on the fixture here: it normalizes by ``len(
-sound_positions)`` where the loss means over the ``S-1`` lag axis,
-calibration.py:86 vs 45, and drops a ``1/C`` in the distance
-derivative, calibration.py:75).  A constant positive scale preserves
+of its own loss — measured exactly ``C·(S-1)/(n_hits·norm)`` × the
+numerical gradient (49× on the norm=1 fixture here: it normalizes by
+``len(sound_positions)`` where the loss means over the ``S-1`` lag
+axis, calibration.py:86 vs 45, drops a ``1/C`` in the distance
+derivative, calibration.py:75, and for norm=2 also drops the exponent
+factor 2, calibration.py:65-70).  A constant positive scale preserves
 the TNC search direction, which is why the reference's calibration
 still converged; ``jax.grad`` of our loss needs no such luck.  The
-tests assert the exact 49× relation so any change in either side
-surfaces.
+tests pin the exact relation for both norms so any change in either
+side surfaces.
 """
 
 from __future__ import annotations
@@ -50,9 +51,10 @@ def x64():
     finite-precision noise swamps ~1e-6 jacobian entries)."""
     import jax
 
+    prev = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     yield
-    jax.config.update("jax_enable_x64", False)
+    jax.config.update("jax_enable_x64", prev)
 
 
 def test_calibration_locations_matches(ref_cal):
@@ -117,16 +119,19 @@ def test_tdoa_calib_loss_and_grad_match(ref_cal, x64, norm):
     )
     np.testing.assert_allclose(ours_jac, num_jac, rtol=2e-3, atol=1e-10)
 
-    # the reference's hand jac is exactly C*(S-1)/n_hits x that gradient
-    # (see module docstring) — pin the defect so changes surface
-    scale = 343.0 * (len(params) // 3 - 1) / len(sounds)
+    # the reference's hand jac is exactly C*(S-1)/(n_hits*norm) x that
+    # gradient (see module docstring) — pin the defect so changes
+    # surface.  The extra 1/norm: its weighted_error_term uses
+    # sign(e)*|e|^(norm-1) where d|e|^norm/de = norm*sign(e)*|e|^(norm-1)
+    # (calibration.py:65-70), exact for norm=1, a dropped factor 2 for
+    # norm=2
+    scale = 343.0 * (len(params) // 3 - 1) / (len(sounds) * norm)
     ref_jac = np.asarray(
         ref_cal.tdoa_calib_loss_jac(params, sounds, tdoa, norm=norm)
     )
-    if norm == 1:
-        np.testing.assert_allclose(
-            ref_jac, scale * ours_jac, rtol=1e-6, atol=1e-12
-        )
+    np.testing.assert_allclose(
+        ref_jac, scale * ours_jac, rtol=1e-6, atol=1e-12
+    )
 
 
 @pytest.mark.parametrize("opt_c", [False, True])

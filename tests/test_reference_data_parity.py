@@ -53,12 +53,11 @@ def test_frame_extractor_matches(ref_data, kwargs):
     audio, onsets = _fixture()
     ref = ref_data.FrameExtractor(**kwargs)(audio, onsets)
     ours = FrameExtractor(**kwargs)(audio, onsets)
-    if kwargs.get("use_min_onset", True):
-        # reference returns [O, frame, C]; ours [O, frame, C] too
-        np.testing.assert_array_equal(ours, np.asarray(ref))
-    else:
-        # reference stacks [O, C, frame]; ours [O, C, frame]
-        np.testing.assert_array_equal(ours, np.asarray(ref))
+    # both layouts are [O, C, frame]: the reference's min-onset path
+    # slides over axis 0 (sliding_window_view appends the window axis
+    # last) and its per-channel path stacks per-channel windows — the
+    # layout commit 7378fa7 made ours match exactly
+    np.testing.assert_array_equal(ours, np.asarray(ref))
 
 
 def test_frame_extractor_1d_matches(ref_data):
