@@ -208,6 +208,22 @@ def load_calibration(workdir: Path):
     return _exec_with_modules(spec, mod, extra)
 
 
+def load_rt_config(workdir: Path):
+    """Reference ``realtime/config.py`` (setup save/load I/O).
+
+    Imports ``FCNN, nn`` from the reference's own calibration module, so
+    that loads first (which pulls in multilateration + detection + the
+    compiled C kernel — the full oracle stack)."""
+    cal = load_calibration(workdir)
+    shutil.copy(REF_PKG / "realtime" / "config.py", workdir / "rt_config.py")
+    pkg = types.ModuleType("onset_fingerprinting")
+    pkg.calibration = cal
+    extra = _dep_stubs()
+    extra["onset_fingerprinting"] = pkg
+    extra["onset_fingerprinting.calibration"] = cal
+    return _load_standalone("_ref_rt_config", workdir / "rt_config.py", extra)
+
+
 def load_multilateration(workdir: Path):
     """Reference ``multilateration.py`` (pulls in detection.py too)."""
     det = load_detection(workdir)
