@@ -360,7 +360,15 @@ def gather_block_windows(
         backend = (
             "pallas" if wide and jax.default_backend() == "tpu" else "xla"
         )
-    if backend == "pallas" and wide:
+    if backend == "pallas" and not wide:
+        # an explicit 'pallas' request must not silently run the ~15x
+        # slower narrow scalar-gather fallback on the serving hot path
+        raise ValueError(
+            f"backend='pallas' needs the wide layout (C={c} divisible by "
+            f"{LANE} with cps={cps} dividing {LANE}) — pad streams to a "
+            "lane multiple or pass backend='xla'/'auto'"
+        )
+    if backend == "pallas":
         stream_ids = jnp.repeat(jnp.arange(n_streams, dtype=jnp.int32), k)
         out = _gather_pallas(
             x, row_start, stream_ids, cps, window, interpret, precision,
@@ -569,7 +577,13 @@ def gather_hit_windows(
         backend = (
             "pallas" if wide and jax.default_backend() == "tpu" else "xla"
         )
-    if backend == "pallas" and wide:
+    if backend == "pallas" and not wide:
+        raise ValueError(
+            f"backend='pallas' needs the wide layout (C={c} divisible by "
+            f"{LANE} with cps={cps} dividing {LANE}) — pad streams to a "
+            "lane multiple or pass backend='xla'/'auto'"
+        )
+    if backend == "pallas":
         out = _gather_pallas(
             x, row_start, stream_ids, cps, window, interpret, precision,
             hits_per_step=hits_per_step,

@@ -38,6 +38,43 @@ def shard_batch(mesh: Mesh, x: jnp.ndarray, axis: str = "data") -> jnp.ndarray:
     return jax.device_put(x, NamedSharding(mesh, P(axis)))
 
 
+def _halo_segments(
+    static, x: jnp.ndarray, n_dev: int, halo: Optional[int]
+) -> tuple[jnp.ndarray, int, int, int]:
+    """Build per-device time segments of ``x`` ``[T, C]`` with left warm-up
+    halos (halo of segment 0 is zeros — it warms up from the initial state
+    like the sequential run).
+
+    ``x`` is zero-padded UP to a whole number of blocks per device (never
+    floor-truncated: flooring would silently drop up to
+    ``n_dev*block_size - 1`` trailing samples — and any end-of-recording
+    onsets in them).  The sequential driver processes ``T // block_size``
+    whole blocks, so callers must discard output blocks at global index
+    ``>= nb_orig``; those cover only padding.
+
+    Returns ``(segs [D, halo+seg, C], halo, seg, nb_orig)``.
+    """
+    bsz = static.block_size
+    t, c = x.shape
+    if halo is None:
+        halo = int(3 * max(static.cooldown, 2205))
+    halo = ((halo + bsz - 1) // bsz) * bsz
+    nb_orig = t // bsz  # whole blocks the sequential run would process
+    seg = ((t + n_dev * bsz - 1) // (n_dev * bsz)) * bsz
+    t_used = seg * n_dev
+    if t_used > t:
+        x = jnp.concatenate([x, jnp.zeros((t_used - t, c), x.dtype)])
+    segs = []
+    for d in range(n_dev):
+        start = d * seg - halo
+        if start < 0:
+            pad = jnp.zeros((-start, c), x.dtype)
+            segs.append(jnp.concatenate([pad, x[: d * seg + seg]]))
+        else:
+            segs.append(x[start : d * seg + seg])
+    return jnp.stack(segs), halo, seg, nb_orig
+
+
 def _tile_streams(static, params, state, per_dev: int, c: int):
     """Widen a per-stream detector config to ``per_dev`` batched streams:
     tile the caller's exact static config / params / state across the
@@ -90,8 +127,9 @@ def detect_offline_sharded(
     don't couple through the reference's cross-channel off-gate quirk.
 
     ``backend='pallas'`` runs the fused kernel per device.
-    Returns per-stream results ``(state [S,...], (on [S, nb, C],
-    deltas [S, nb, C], rel [S, T, C]))``.
+    Returns per-stream results ``(on [S, nb, C], deltas [S, nb, C],
+    rel [S, T, C])``; the detector state is not carried out — use
+    :func:`detect_offline_chunked` when streaming continuation matters.
     """
     from jax import shard_map
 
@@ -164,8 +202,11 @@ def detect_offline_time_sharded(
     interpret: bool = False,
 ):
     """Detect over ONE long recording ``[T, C]`` sharded by time with a
-    warm-up halo.  Returns dense per-block (on, deltas) covering the full
-    recording (halo region outputs discarded per shard).
+    warm-up halo.  Returns dense per-block (on, deltas) covering the same
+    ``T // block_size`` whole blocks the sequential driver processes (halo
+    region outputs discarded per shard; the tail is zero-padded up to a
+    whole number of blocks per device and the padding blocks dropped —
+    never real samples).
 
     ``halo`` defaults to ~3 slow-envelope time constants (rounded up to the
     block size) — enough for the detector's exponential state to forget the
@@ -174,24 +215,7 @@ def detect_offline_time_sharded(
     n_dev = mesh.shape[axis]
     bsz = static.block_size
     t, c = x.shape
-    if halo is None:
-        halo = int(3 * max(static.cooldown, 2205))
-    halo = ((halo + bsz - 1) // bsz) * bsz
-    seg = ((t // n_dev) // bsz) * bsz
-    t_used = seg * n_dev
-    x = x[:t_used]
-
-    # Build per-device segments with left halos (halo of segment 0 is zeros
-    # — it warms up from the initial state like the sequential run).
-    segs = []
-    for d in range(n_dev):
-        start = d * seg - halo
-        if start < 0:
-            pad = jnp.zeros((-start, c), x.dtype)
-            segs.append(jnp.concatenate([pad, x[: d * seg + seg]]))
-        else:
-            segs.append(x[start : d * seg + seg])
-    xs = jnp.stack(segs)  # [D, halo + seg, C]
+    xs, halo, seg, nb_orig = _halo_segments(static, x, n_dev, halo)
     xs = jax.device_put(xs, NamedSharding(mesh, P(axis)))
     bstate = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (n_dev,) + a.shape), state
@@ -237,10 +261,11 @@ def detect_offline_time_sharded(
             return on[:, skip:], deltas[:, skip:], rel[:, halo:]
 
         on, deltas, rel = run(bstate, xs)
-    # stitch shards back to the global timeline
-    on = on.reshape(-1, c)
-    deltas = deltas.reshape(-1, c)
-    rel = rel.reshape(-1, c)
+    # stitch shards back to the global timeline, discarding the trailing
+    # zero-padding blocks (>= nb_orig) so outputs match the sequential run
+    on = on.reshape(-1, c)[:nb_orig]
+    deltas = deltas.reshape(-1, c)[:nb_orig]
+    rel = rel.reshape(-1, c)[: nb_orig * bsz]
     return on, deltas, rel
 
 
@@ -302,23 +327,16 @@ def detect_events_time_sharded(
     n_dev = mesh.shape[axis]
     bsz = static.block_size
     t, c = x.shape
-    if halo is None:
-        halo = int(3 * max(static.cooldown, 2205))
-    halo = ((halo + bsz - 1) // bsz) * bsz
-    seg = ((t // n_dev) // bsz) * bsz
-    x = x[: seg * n_dev]
-
-    segs = []
-    for d in range(n_dev):
-        start = d * seg - halo
-        if start < 0:
-            pad = jnp.zeros((-start, c), x.dtype)
-            segs.append(jnp.concatenate([pad, x[: d * seg + seg]]))
-        else:
-            segs.append(x[start : d * seg + seg])
-    xs = jax.device_put(
-        jnp.stack(segs), NamedSharding(mesh, P(axis))
-    )  # [D, halo+seg, C]
+    if t + n_dev * bsz >= _BIG:
+        # onset_abs keys share the int32 lane with the _BIG empty-slot
+        # sentinel; past it real events would sort as padding and vanish.
+        raise ValueError(
+            f"recording of {t} samples exceeds the {_BIG}-sample "
+            "(~3.1 h @ 96 kHz) limit of the int32 event keys — chunk the "
+            "recording (detect_offline_chunked) and offset the results"
+        )
+    xs, halo, seg, nb_orig = _halo_segments(static, x, n_dev, halo)
+    xs = jax.device_put(xs, NamedSharding(mesh, P(axis)))  # [D, halo+seg, C]
 
     if backend == "pallas":
         from onset_fingerprinting_tpu.ops.pallas_detector import (
@@ -348,6 +366,10 @@ def detect_events_time_sharded(
         nb_local = on.shape[0]
         # dense → fixed-capacity event queue, ordered by onset time
         blk = jax.lax.broadcasted_iota(jnp.int32, on.shape, 0)
+        # mask blocks past the sequential run's whole-block count: they
+        # cover only the zero padding _halo_segments appended
+        gblk = d.astype(jnp.int32) * nb_local + blk
+        on = jnp.logical_and(on, gblk < nb_orig)
         onset_abs = d.astype(jnp.int32) * seg + blk * bsz + deltas
         key = jnp.where(on, onset_abs, _BIG).reshape(-1)
         chan = jax.lax.broadcasted_iota(jnp.int32, on.shape, 1).reshape(-1)

@@ -21,6 +21,7 @@ optional sounddevice stream when PortAudio is present (gated import).
 from __future__ import annotations
 
 import time
+import warnings
 from typing import NamedTuple, Optional
 
 import jax
@@ -55,10 +56,10 @@ def _pack_events(ev_count, ev_points, ev_onsets):
     a single device→host transfer."""
     return jnp.concatenate(
         [
-            ev_count[None].astype(jnp.float32),
+            # bit-preserving: a plain f32 cast loses integer exactness past
+            # 2^24 cumulative hits (and int32 onsets past ~175 s at 96 kHz)
+            jax.lax.bitcast_convert_type(ev_count[None], jnp.float32),
             ev_points.reshape(-1),
-            # bit-preserving: int32 onsets exceed f32's exact-int range
-            # after ~175 s at 96 kHz
             jax.lax.bitcast_convert_type(ev_onsets, jnp.float32),
         ]
     )
@@ -325,6 +326,8 @@ class RealtimeEngine:
         #: ('engine.step' ms) and hit counters
         self.metrics = metrics
         self._harvested = 0  # events already drained from the device queue
+        #: events overwritten in the device queue before a harvest saw them
+        self.harvest_drops = 0
         #: analysis side-channel (attach_analysis); None until attached
         self.analysis = None
         self.recording_active = False
@@ -526,13 +529,19 @@ class RealtimeEngine:
         import threading
 
         if getattr(self, "_pipe_q", None) is not None:
-            return
-        self._pipe_q = _queue.Queue(maxsize=depth)
+            # a previous stop_pipeline timed out with the dispatcher wedged:
+            # only recover once that thread has actually exited — two
+            # dispatchers would race the non-atomic self.state update
+            if self._pipe_thread.is_alive():
+                return
+            self._pipe_q = None
+        self._pipe_q = q = _queue.Queue(maxsize=depth)
         self.pipeline_drops = 0
 
         def loop():
+            # bind the queue: self._pipe_q may be swapped by stop/start
             while True:
-                item = self._pipe_q.get()
+                item = q.get()
                 if item is None:
                     return
                 t0 = time.perf_counter()
@@ -567,11 +576,27 @@ class RealtimeEngine:
             )
 
     def stop_pipeline(self, timeout: float = 30.0) -> None:
-        """Drain the queue and join the dispatcher thread."""
+        """Drain the queue and join the dispatcher thread.
+
+        If the thread does not exit within ``timeout`` (a wedged device
+        dispatch can block for minutes) the queue stays bound and a
+        warning is emitted: ``start_pipeline`` will refuse to spawn a
+        second dispatcher until the stuck one exits — two dispatchers
+        would race the non-atomic ``self.state`` read-modify-write.
+        """
         if getattr(self, "_pipe_q", None) is None:
             return
         self._pipe_q.put(None)
         self._pipe_thread.join(timeout=timeout)
+        if self._pipe_thread.is_alive():
+            warnings.warn(
+                f"stop_pipeline: dispatcher still alive after {timeout}s "
+                "(wedged device dispatch?) — start_pipeline stays a no-op "
+                "until it exits",
+                UserWarning,
+                stacklevel=2,
+            )
+            return
         self._pipe_q = None
 
     @property
@@ -591,12 +616,23 @@ class RealtimeEngine:
         packed = np.asarray(
             _pack_events(st.ev_count, st.ev_points, st.ev_onsets)
         )
-        count = int(packed[0])
+        count = int(packed[:1].view(np.int32)[0])
         new = count - self._harvested
         if new <= 0:
             return []
         eq = st.ev_points.shape[0]
         if new > eq:  # queue overflow: oldest events were overwritten
+            lost = new - eq
+            self.harvest_drops += lost
+            if self.metrics is not None:
+                self.metrics.count("engine.harvest.drops", float(lost))
+            warnings.warn(
+                f"harvest: device event queue overflowed — {lost} event(s) "
+                f"overwritten since the last harvest (capacity {eq}); "
+                "harvest more often or raise event_queue",
+                UserWarning,
+                stacklevel=2,
+            )
             self._harvested = count - eq
             new = eq
         points = packed[1 : 1 + 2 * eq].reshape(eq, 2)
@@ -617,7 +653,11 @@ class RealtimeEngine:
 
     def event_counter(self) -> tuple[int, int]:
         """(absolute sample counter, samples since block start) for 'now' —
-        the wall-time → buffer-index mapping (audio.py:135-146)."""
+        the wall-time → buffer-index mapping (audio.py:135-146).  Before the
+        first processed block there is no time reference yet: returns
+        ``(0, 0)``."""
+        if self.callback_time is None:
+            return 0, 0
         t0, idx = self.callback_time
         since = round((time.monotonic() - t0) * self.cfg.sr)
         return idx + since, since

@@ -91,6 +91,53 @@ class TestShardedDetection:
         assert set_t == set_r
         assert len(set_r) > 0
 
+    def test_time_sharded_keeps_trailing_samples(self, mesh):
+        """T not divisible by n_dev*block must NOT silently drop the tail:
+        an onset inside the final ragged region (which the old floor
+        truncation discarded) is still detected, exactly as sequentially."""
+        cfg = DetectorConfig(
+            n_channels=2, block_size=128, hipass_freq=0.0, sr=96000
+        )
+        static, params, state = detector_init(cfg)
+        T = 128 * 80 * 8 + 1000  # 1000 ragged samples past the 8-dev floor
+        x = synth(T, 2, seed=5)
+        # clear synth's tail burst (its cooldown would mask ours), then put
+        # a burst entirely inside the region the old code truncated away
+        x[80600:] = (
+            np.random.default_rng(9)
+            .normal(0, 1e-4, (T - 80600, 2))
+            .astype(np.float32)
+        )
+        t = np.arange(300)
+        burst = np.sin(2 * np.pi * 5000 / 96000 * t) * np.exp(-t / 60) * 0.5
+        x[82400:82700] += burst[:, None].astype(np.float32)
+        on_t, d_t, _ = detect_offline_time_sharded(
+            static, params, state, jnp.asarray(x), mesh, halo=128 * 60
+        )
+        # detect_offline wants whole blocks; the sharded path must match
+        # this exact whole-block semantics (drop < block_size, never more)
+        _, (on_ref, d_ref, _) = detect_offline(
+            static, params, state, jnp.asarray(x[: (T // 128) * 128])
+        )
+        assert on_t.shape[0] == T // 128  # sequential whole-block count
+        ch_t, ev_t = events_from_dense(on_t, d_t, 128)
+        ch_r, ev_r = events_from_dense(
+            np.asarray(on_ref), np.asarray(d_ref), 128
+        )
+        set_t = set(zip(ch_t, ev_t))
+        set_r = set(zip(ch_r, ev_r))
+        assert set_t == set_r
+        assert any(ev >= T - 1000 for ev in ev_r), "fixture must hit tail"
+
+        from onset_fingerprinting_tpu.parallel.sharding import (
+            detect_events_time_sharded,
+        )
+
+        chans, onsets = detect_events_time_sharded(
+            static, params, state, jnp.asarray(x), mesh, halo=128 * 60
+        )
+        assert set(zip(chans.tolist(), onsets.tolist())) == set_r
+
 
 class TestTrainerDP:
     def test_dp_training_step_runs(self, mesh):

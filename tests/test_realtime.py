@@ -1,5 +1,6 @@
 """Realtime engine, actions, and online analysis tests."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -149,6 +150,44 @@ class TestRealtimeEngine:
         # inject a fake location by calling actions directly through process
         out, locs = eng.process(np.zeros((128, 3), np.float32))
         assert out.shape == (128, 2)
+
+    def test_event_counter_before_first_block(self):
+        """No time reference exists before the first processed block —
+        must return (0, 0), not crash unpacking callback_time=None."""
+        cfg, locator, eng = _make_engine()
+        assert eng.event_counter() == (0, 0)
+
+    def test_harvest_overflow_warns_and_counts(self):
+        """Device event-queue overflow must never be silent: the lost
+        count is warned, accumulated, and the newest events delivered."""
+        import warnings as _w
+
+        cfg, locator, eng = _make_engine()
+        eq = eng.state.ev_points.shape[0]
+        pts = jnp.arange(eq * 2, dtype=jnp.float32).reshape(eq, 2)
+        eng.state = eng.state._replace(
+            ev_points=pts,
+            ev_onsets=jnp.arange(eq, dtype=jnp.int32),
+            ev_count=jnp.int32(eq + 3),  # 3 oldest slots overwritten
+        )
+        with pytest.warns(UserWarning, match="overflowed"):
+            events = eng.harvest()
+        assert len(events) == eq
+        assert eng.harvest_drops == 3
+        # delivered events start at the oldest surviving slot (count - eq)
+        assert events[0][0] == int(np.asarray(eng.state.ev_onsets)[3 % eq])
+
+    def test_harvest_count_exact_past_f32_integers(self):
+        """ev_count rides the packed f32 transfer bit-preserved — a plain
+        cast would round past 2^24 cumulative hits."""
+        cfg, locator, eng = _make_engine()
+        eq = eng.state.ev_points.shape[0]
+        big = 2**24 + 1  # not representable as f32
+        eng._harvested = big - 2
+        eng.state = eng.state._replace(ev_count=jnp.int32(big))
+        events = eng.harvest()
+        assert len(events) == 2
+        assert eng.harvest_drops == 0
 
     def test_event_counter(self):
         cfg, locator, eng = _make_engine()

@@ -69,6 +69,30 @@ def test_fallback_path_matches_reference():
     )
 
 
+def test_explicit_pallas_backend_rejects_narrow_layout():
+    """backend='pallas' on a non-wide layout must raise, not silently run
+    the ~15x slower narrow fallback the caller opted out of."""
+    import pytest
+
+    from onset_fingerprinting_tpu.ops.windows import gather_hit_windows
+
+    rng = np.random.default_rng(1)
+    t, s, cps, w, k = 2048, 3, 4, 128, 4  # C=12: not a lane multiple
+    x = jnp.asarray(rng.normal(size=(t, s * cps)).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, t, (s, k)).astype(np.int32))
+    with pytest.raises(ValueError, match="wide layout"):
+        gather_block_windows(x, starts, cps, w, backend="pallas")
+    with pytest.raises(ValueError, match="wide layout"):
+        gather_hit_windows(
+            x,
+            starts.reshape(-1),
+            jnp.repeat(jnp.arange(s, dtype=jnp.int32), k),
+            cps,
+            w,
+            backend="pallas",
+        )
+
+
 def test_clipping_at_edges():
     rng = np.random.default_rng(2)
     t, s, cps, w = 1024, 32, 4, 256
