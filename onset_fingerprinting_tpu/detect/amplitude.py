@@ -97,6 +97,14 @@ class DetectorParams(NamedTuple):
 
 
 def _make_static(cfg: DetectorConfig) -> _Static:
+    if cfg.backtrack and cfg.backtrack_buffer_size < cfg.block_size:
+        # the reference asserts this too (detection.py:716-718)
+        # — a smaller ring double-writes slots within one block and the
+        # backward walk reads fresh samples as history: garbage deltas
+        raise ValueError(
+            f"backtrack_buffer_size ({cfg.backtrack_buffer_size}) must be "
+            f">= block_size ({cfg.block_size}) when backtrack=True"
+        )
     bt_alpha = np.float32(2.0 / (cfg.backtrack_smooth_size + 1))
     return _Static(
         n_channels=cfg.n_channels,

@@ -513,7 +513,12 @@ def make_locate_update(
     live-buffer refinement (multilateration.py:457-501), including the
     energy heuristic that may move the *seed* instead of the new onset
     (adjust_onset) and the seed swap when refinement puts the new onset
-    first (multilateration.py:443-449).
+    first (multilateration.py:443-449).  Known deviation: the reference
+    refines against EVERY candidate group while iterating; this step
+    refines against one candidate (the first matching slot) — identical
+    whenever at most one group is live for the incoming onset (the
+    common case), diverging only when overlapping strikes keep several
+    candidate seeds alive at once.
 
     Captures the locator's lag maps/sensor geometry as device constants.
     Semantics follow Multilaterate3D.locate: group join on pairwise
@@ -632,7 +637,11 @@ def make_locate_update(
 
         completes = joinable & (state.count == 2)
         any_complete = jnp.any(completes)
-        gidx = jnp.argmax(completes)  # first completing slot
+        # the reference iterates groups in insertion order, so "first
+        # completing" means the OLDEST completing group, not the lowest
+        # slot index (slots are recycled out of order here)
+        comp_age = jnp.where(completes, state.age, jnp.int32(1 << 24))
+        gidx = jnp.argmin(comp_age)
 
         # --- completion path (computed unconditionally, masked by validity)
         s0 = seed_safe[gidx]
@@ -704,26 +713,45 @@ def make_locate_update(
         )
         new_count = state.count + join_now.astype(jnp.int32)
 
-        # drop dead groups; on emit, drop the completed group and its
-        # seed-sharing competitors (remove_seed, multilateration.py:160-167)
+        # drop dead groups.  On a feasible completion the reference
+        # RETURNS mid-loop (multilateration.py:512-531): the completed
+        # group is consumed, every group AFTER it in iteration
+        # (insertion/age) order is discarded wholesale, and remove_seed
+        # (multilateration.py:160-167) prunes earlier seed-sharers only
+        # when the solve succeeded.
+        returned = any_complete & grid_ok
         same_seed = (
             (state.sensors[:, 0] == state.sensors[gidx, 0])
             & (state.onsets[:, 0] == state.onsets[gidx, 0])
         )
-        keep = alive & ~(emit & same_seed)
+        later_or_self = state.age >= state.age[gidx]
+        keep = alive & ~(returned & later_or_self) & ~(emit & same_seed)
         new_count = jnp.where(keep, new_count, 0)
 
         # insert the fresh single-member group: prefer a free slot, else
-        # evict the oldest active group (smallest age)
+        # evict the oldest active group (smallest age).  NOT on the
+        # completion path: the reference returns before its singleton
+        # append (multilateration.py:512-527 vs 531) — whenever a group
+        # reached 3 members with a feasible lag-map cell, even if the
+        # solve then failed — so the completing onset never seeds a
+        # group (a bounce joining that phantom seed could emit a second
+        # point for the same strike).
         free = new_count == 0
         big = jnp.int32(1 << 24)
         evict_score = jnp.where(free, state.age - big, state.age)
         ins = jnp.argmin(evict_score)
-        new_sensors = new_sensors.at[ins].set(jnp.full((3,), -1, jnp.int32))
-        new_sensors = new_sensors.at[ins, 0].set(sensor)
-        new_onsets = new_onsets.at[ins, 0].set(onset)
-        new_count = new_count.at[ins].set(1)
-        new_age = state.age.at[ins].set(state.next_age)
+        ins_sensors = new_sensors.at[ins].set(jnp.full((3,), -1, jnp.int32))
+        ins_sensors = ins_sensors.at[ins, 0].set(sensor)
+        new_sensors = jnp.where(returned, new_sensors, ins_sensors)
+        new_onsets = jnp.where(
+            returned, new_onsets, new_onsets.at[ins, 0].set(onset)
+        )
+        new_count = jnp.where(
+            returned, new_count, new_count.at[ins].set(1)
+        )
+        new_age = jnp.where(
+            returned, state.age, state.age.at[ins].set(state.next_age)
+        )
 
         new_state = LocatorState(
             sensors=new_sensors,

@@ -304,6 +304,10 @@ class Trainer:
         best_state = state
         best_loss = math.inf
         patience = 0
+        # run-local epoch counter: history accumulates across fit() calls,
+        # so deriving the epoch from len(history) would let a continued
+        # fit(state=...) start past min_epochs and early-stop immediately
+        epoch = 0
         for _ in range(-(-num_epochs // k)):
             state, losses = train_many(state, x, y)
             losses = np.asarray(losses, dtype=np.float64)
@@ -313,7 +317,7 @@ class Trainer:
                 self.history["val_loss"].append(monitor)
             else:
                 monitor = float(losses[-1])
-            epoch = len(self.history["train_loss"])
+            epoch += len(losses)
             if monitor < best_loss - self.cfg.eps:
                 best_loss = monitor
                 best_state = state

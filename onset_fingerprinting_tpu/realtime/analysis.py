@@ -23,7 +23,10 @@ from scipy import optimize as sciopt
 from scipy.spatial import distance_matrix
 
 from onset_fingerprinting_tpu.core.config import RealtimeConfig
-from onset_fingerprinting_tpu.core.ring_buffer import CircularArray
+from onset_fingerprinting_tpu.core.ring_buffer import (
+    CircularArray,
+    query_circular,
+)
 
 
 def closest_distance(onsets: np.ndarray, grid: np.ndarray) -> float:
@@ -198,12 +201,21 @@ def _stft_hop(window: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def _onset_strength_hop(mag: jnp.ndarray, magm1: jnp.ndarray, ref_max):
+def _log_spec(mag: jnp.ndarray):
+    """dB log-spectrum and its (unclamped) max."""
     s = 10.0 * jnp.log10(jnp.maximum(1e-10, mag))
+    return s, s.max()
+
+
+@jax.jit
+def _flux_hop(s: jnp.ndarray, sm1: jnp.ndarray, ref_max):
+    """Positive spectral-flux mean with both frames floored at
+    ``ref_max - 80`` — ``ref_max`` must already include the current
+    frame's max (the reference adds to the tracker BEFORE clamping,
+    recording.py:291-293)."""
     s = jnp.maximum(s, ref_max - 80)
-    sm1 = 10.0 * jnp.log10(jnp.maximum(1e-10, magm1))
     sm1 = jnp.maximum(sm1, ref_max - 80)
-    return jnp.maximum(0.0, s - sm1).mean(), s.max()
+    return jnp.maximum(0.0, s - sm1).mean()
 
 
 @partial(jax.jit, static_argnames=("pad",))
@@ -254,18 +266,26 @@ class OnlineAnalysis:
 
     # -- per-hop updates ------------------------------------------------------
 
-    def hop(self, lag: int = 0) -> None:
+    def hop(self, end: Optional[int] = None) -> None:
         """Compute one STFT frame + onset strength + tempogram frame from the
         most recent audio (recording.py:273-327).
 
-        ``lag`` reads the frame ending ``lag`` samples before the ring
-        cursor — lets a catching-up worker process each pending hop at its
-        true stream position instead of re-reading the latest window.
+        ``end`` pins the frame to the window ending at that ABSOLUTE write
+        counter — lets a catching-up worker process each pending hop at its
+        true stream position even while the audio thread keeps writing (a
+        cursor-relative lag would shift with every concurrent write).
+        Default: the window ending at the live cursor.
         """
         nf = self.cfg.n_fft
-        sl = slice(-nf - lag, -lag if lag else None)
+        if end is None:
+            end = int(self.audio.counter)
         frame = jnp.asarray(
-            np.asarray(self.audio[sl]).mean(-1), jnp.float32
+            np.asarray(
+                query_circular(
+                    self.audio.data, slice(-nf, None), end, self.audio.axis
+                )
+            ).mean(-1),
+            jnp.float32,
         )
         spec = np.asarray(_stft_hop(self.window, frame))
         self.stft.write(spec[None])
@@ -273,14 +293,17 @@ class OnlineAnalysis:
         self._tempogram()
 
     def _onset_strength(self) -> None:
-        mag = np.abs(self.stft[-1]) ** 2
-        magm1 = np.abs(self.stft[-2]) ** 2
-        env, smax = _onset_strength_hop(
-            jnp.asarray(mag), jnp.asarray(magm1),
-            jnp.float32(self.logspec_minmax.max_val),
-        )
+        mag = magsquared(self.stft[-1])
+        magm1 = magsquared(self.stft[-2])
+        s, smax = _log_spec(jnp.asarray(mag))
+        sm1, _ = _log_spec(jnp.asarray(magm1))
+        # reference order (recording.py:291-293): feed the UNclamped frame
+        # max to the tracker first, then clamp both frames at the UPDATED
+        # tracker max - 80
         self.logspec_minmax.add(float(smax))
-        env = float(env)
+        env = float(
+            _flux_hop(s, sm1, jnp.float32(self.logspec_minmax.max_val))
+        )
         self.onset_env_minmax.add(env)
         self.onset_env.write(
             np.asarray([self.onset_env_minmax.normalize(env)], np.float32)
@@ -304,8 +327,6 @@ class OnlineAnalysis:
         """Onsets since relative frame ``start`` (negative)
         (recording.py:397-428)."""
         o = -self.cfg.onset_det_offset
-        from onset_fingerprinting_tpu.core.ring_buffer import query_circular
-
         onset_env = self.onset_env[start:o]
         wc = self.onset_env.write_counter
         mov_max = query_circular(self.mov_max, slice(start, o), wc)
@@ -373,7 +394,7 @@ class OnlineAnalysis:
         n = 0
         while self._hopped + hop <= wc:
             self._hopped += hop
-            self.hop(lag=wc - self._hopped)
+            self.hop(end=self._hopped)
             n += 1
         return n
 
@@ -390,8 +411,12 @@ class OnlineAnalysis:
 
         directory = Path(directory)
         directory.mkdir(parents=True, exist_ok=True)
-        wavs = sorted(directory.glob("*.wav"))
-        nxt = int(wavs[-1].stem) + 1 if wavs else 0
+        # numeric max, not lexicographic sort ('9.wav' > '10.wav' as
+        # strings); ignore non-numeric wavs instead of crashing on them
+        nums = [
+            int(p.stem) for p in directory.glob("*.wav") if p.stem.isdigit()
+        ]
+        nxt = max(nums) + 1 if nums else 0
         out = directory / f"{nxt}.wav"
         self.save_audio(out)
         return out

@@ -311,6 +311,18 @@ class TestAmplitudeDetector:
         fired = np.asarray(on1)
         assert (np.asarray(d1)[fired] <= np.asarray(d2)[fired]).all()
 
+    def test_backtrack_buffer_smaller_than_block_raises(self):
+        """A backtrack ring smaller than one block double-writes slots
+        within a single block, so the backward walk reads fresh samples as
+        history; the reference asserts the same precondition
+        (detection.py:716-718)."""
+        cfg = DetectorConfig(
+            n_channels=1, block_size=128, hipass_freq=0.0,
+            backtrack=True, backtrack_buffer_size=64,
+        )
+        with pytest.raises(ValueError, match="backtrack_buffer_size"):
+            detector_init(cfg)
+
 
 class TestSpectral:
     def test_detects_bursts(self):

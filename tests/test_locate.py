@@ -275,6 +275,43 @@ class TestJittableLocator:
         for (x, y), p in zip(hits, found):
             assert np.hypot(p[0] - x, p[1] - y) < 1.0
 
+    def test_completion_does_not_seed_group(self):
+        """The completing onset must NOT seed a fresh singleton group:
+        the reference returns before its singleton append whenever a
+        group completed on a feasible lag-map cell
+        (multilateration.py:512-531), so a later bounce can't join a
+        phantom seed and emit a second point for the same strike."""
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        update = make_locate_update(m)
+        state = locator_init(8)
+        c = speed_of_sound(100, medium="drumhead")
+        x, y = 3.0, 2.0
+        base = 10000
+        d = [np.hypot(x - sx, y - sy) for (sx, sy, _) in xyz]
+        events = sorted(
+            (base + int(round(d[ch] / c * SR)), ch) for ch in range(3)
+        )
+        emits = []
+        for onset, ch in events:
+            state, point, emit = update(
+                state, jnp.int32(ch), jnp.int32(onset)
+            )
+            emits.append(bool(emit))
+        assert emits == [False, False, True]
+        # every group is consumed — the completing onset seeded nothing
+        assert int(np.asarray(state.count).sum()) == 0
+        # a bounce on another channel right after starts a FRESH group
+        # (count 1) instead of joining a phantom seed
+        state, _, emit = update(
+            state, jnp.int32(events[0][1]), jnp.int32(events[-1][0] + 40)
+        )
+        assert not bool(emit)
+        counts = np.asarray(state.count)
+        assert counts.sum() == 1 and counts.max() == 1
+
     def test_model_bypass(self):
         """model= replaces the Newton solve with the FCNN, in-device."""
         import jax

@@ -168,6 +168,25 @@ class TestTrainer:
         assert b[-1] < b[0] * 0.8
         assert b[20] < b[0] * 0.95  # chunk 3 did not restart from scratch
 
+    def test_scanned_continuation_respects_min_epochs(self):
+        """A continued fit(state=...) counts epochs from ITS OWN start:
+        deriving the epoch from len(history) (which accumulates across
+        fit calls) would let the second call begin past min_epochs and
+        early-stop after its first non-improving chunk."""
+        x, y = _data(32, 3, 32)
+        model = CNN(output_size=2, layer_sizes=[4], kernel_size=3,
+                    dropout_rate=0.0)
+        # lr=0: no improvement ever, so early stopping is governed purely
+        # by the min_epochs/patience bookkeeping under test
+        cfg = TrainConfig(lr=0.0, num_epochs=20, min_epochs=20, patience=0,
+                          loss="l1")
+        t = Trainer(model, cfg)
+        st = t.fit((x, y), epochs_per_step=5)
+        assert len(t.history["train_loss"]) == 20
+        t.fit((x, y), state=st, epochs_per_step=5)
+        # the continued run gets its full 20 epochs (bug: stopped at 10)
+        assert len(t.history["train_loss"]) == 40
+
     def test_sgd_momentum_optimizer(self):
         tx = make_optimizer("sgd", 1e-2, weight_decay=1e-3, grad_clip=1.0)
         params = {"w": jnp.ones(3)}
