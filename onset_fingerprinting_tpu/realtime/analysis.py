@@ -385,7 +385,7 @@ class OnlineAnalysis:
         """Catch up on all pending hops from the audio ring.
 
         Each pending hop is computed at its true stream position (via
-        ``hop(lag=...)``), so a caller that polls less often than once per
+        ``hop(end=...)``), so a caller that polls less often than once per
         hop still produces the exact per-hop analysis sequence.  Returns the
         number of hops processed.
         """

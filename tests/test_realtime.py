@@ -1,5 +1,7 @@
 """Realtime engine, actions, and online analysis tests."""
 
+import itertools
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -230,6 +232,49 @@ class TestOnlineAnalysis:
         assert len(onsets) >= 6
         bpm = ana.bpm(-800)
         assert 110 < bpm < 130 or 55 < bpm < 65  # octave ambiguity allowed
+
+    def test_poll_catches_up_at_true_positions(self):
+        """A worker that polls less often than once per hop must produce
+        the exact per-hop analysis sequence of an in-step worker: poll()
+        pins each pending hop to its ABSOLUTE stream position
+        (hop(end=...)) instead of re-reading the window at the live
+        cursor (the reference's workers consume one queue event per hop,
+        recording.py:273-327)."""
+        cfg = RealtimeConfig(
+            sr=48000, blocksize=256, hop_length=256, n_fft=1024,
+            tg_win_length=384, max_recording_seconds=8,
+        )
+        audio = self._click_track(bpm=120, seconds=3, sr=48000)
+        hop = cfg.hop_length
+        n_hops = len(audio) // hop
+
+        ring_a = CircularArray(np.zeros((cfg.rec_n, 1), np.float32))
+        ana_a = OnlineAnalysis(cfg, ring_a)
+        for i in range(n_hops):
+            ring_a.write(audio[i * hop : (i + 1) * hop, None])
+            ana_a.hop()
+
+        ring_b = CircularArray(np.zeros((cfg.rec_n, 1), np.float32))
+        ana_b = OnlineAnalysis(cfg, ring_b)
+        polled = 0
+        i = 0
+        for burst in itertools.cycle([3, 1, 5, 2, 7, 4]):
+            burst = min(burst, n_hops - i)
+            if burst == 0:
+                break
+            ring_b.write(audio[i * hop : (i + burst) * hop, None])
+            i += burst
+            polled += ana_b.poll()
+        assert polled == n_hops
+
+        np.testing.assert_array_equal(
+            np.asarray(ana_a.stft[-16:]), np.asarray(ana_b.stft[-16:])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ana_a.onset_env[-64:]),
+            np.asarray(ana_b.onset_env[-64:]),
+        )
+        np.testing.assert_array_equal(ana_a.mov_max, ana_b.mov_max)
 
     def test_quantize_start_moves_to_click(self):
         cfg = RealtimeConfig(
