@@ -636,34 +636,55 @@ def make_locate_update(
         joinable = alive & ~member & legal_pair & (state.count < 3)
 
         completes = joinable & (state.count == 2)
-        any_complete = jnp.any(completes)
-        # the reference iterates groups in insertion order, so "first
-        # completing" means the OLDEST completing group, not the lowest
-        # slot index (slots are recycled out of order here)
-        comp_age = jnp.where(completes, state.age, jnp.int32(1 << 24))
-        gidx = jnp.argmin(comp_age)
 
-        # --- completion path (computed unconditionally, masked by validity)
-        s0 = seed_safe[gidx]
-        s1 = jnp.maximum(state.sensors[gidx, 1], 0)
-        o0 = state.onsets[gidx, 0]
-        o1 = state.onsets[gidx, 1]
-        lag1 = (o1 - o0).astype(jnp.float32)
-        lag2 = (onset - o0).astype(jnp.float32)
-        lm1 = maps[s0, s1]
-        lm2 = maps[s0, sensor]
-        legal_grid = (
-            (lm1 < lag1 + tol)
-            & (lm1 > lag1 - tol)
-            & (lm2 < lag2 + tol)
-            & (lm2 > lag2 - tol)
+        # Per-group lag-map feasibility for EVERY completing candidate:
+        # the reference returns at the FIRST completing group in
+        # insertion order whose lag-map cell is feasible
+        # (multilateration.py:507-527) — an infeasible completer earlier
+        # in the scan does NOT return (it stays alive as an inert
+        # 3-member group, :531), so it must not mask a feasible one
+        # later.  G is small (the slot capacity), so the [G, h, w]
+        # gather is cheap.
+        s1_all = jnp.maximum(state.sensors[:, 1], 0)
+        lag1_all = (state.onsets[:, 1] - state.onsets[:, 0]).astype(
+            jnp.float32
+        )
+        lag2_all = (onset - state.onsets[:, 0]).astype(jnp.float32)
+        lm1_all = maps[seed_safe, s1_all]  # [G, h, w]
+        lm2_all = maps[seed_safe, sensor]  # [G, h, w]
+        legal_all = (
+            (lm1_all < lag1_all[:, None, None] + tol)
+            & (lm1_all > lag1_all[:, None, None] - tol)
+            & (lm2_all < lag2_all[:, None, None] + tol)
+            & (lm2_all > lag2_all[:, None, None] - tol)
         )
         # The reference's C-order argmax + F-order unravel on a square grid
         # (multilateration.py:425) effectively yields (col, row) = (x+r, y+r)
         # for map cell [row, col] (meshgrid 'xy': x = col - r, y = row - r).
-        flat = jnp.argmax(legal_grid.T.reshape(-1))  # column-major argmax
-        cell = jnp.stack([flat // h, flat % h]).astype(jnp.float32)  # (col,row)
-        grid_ok = jnp.any(legal_grid) & jnp.any(cell != 0)
+        flat_all = legal_all.transpose(0, 2, 1).reshape(
+            legal_all.shape[0], -1
+        )  # column-major per group
+        idx_all = jnp.argmax(flat_all, axis=1)
+        cell_all = jnp.stack(
+            [idx_all // h, idx_all % h], axis=1
+        ).astype(jnp.float32)  # [G, 2] (col, row)
+        grid_ok_all = jnp.any(flat_all, axis=1) & jnp.any(
+            cell_all != 0, axis=1
+        )
+        feasible = completes & grid_ok_all
+        returned = jnp.any(feasible)
+        # oldest feasible completer (insertion order = ascending age)
+        comp_age = jnp.where(feasible, state.age, jnp.int32(1 << 24))
+        gidx = jnp.argmin(comp_age)
+
+        # --- completion path (computed unconditionally, masked by validity)
+        s0 = seed_safe[gidx]
+        s1 = s1_all[gidx]
+        o0 = state.onsets[gidx, 0]
+        o1 = state.onsets[gidx, 1]
+        lag1 = lag1_all[gidx]
+        lag2 = lag2_all[gidx]
+        cell = cell_all[gidx]
         guess = cell - radius
         triple = jnp.stack([xyz[s0], xyz[s1], xyz[sensor]])
         deltas = jnp.stack([lag1, lag2]) * c_over_sr
@@ -694,10 +715,16 @@ def make_locate_update(
             solved = jnp.all(jnp.isfinite(point))
         else:
             point, solved = solve_tdoa(triple, deltas, guess)
-        emit = any_complete & grid_ok & solved
+        emit = returned & solved
 
-        # --- state update
-        join_now = joinable & (state.count < 3) & ~completes
+        # --- state update.  Joins apply to completing groups too: an
+        # INFEASIBLE completer keeps its third member and lives on inert
+        # (count 3 blocks further joins) until its lag ages out — the
+        # reference appends exactly that 3-member group
+        # (multilateration.py:502-531; its duplicate second append is a
+        # quirk not replicated — capacity-bounded slots, and duplicates
+        # only matter there after a completion that already purges them).
+        join_now = joinable
         slot_pos = jnp.clip(state.count, 0, 2)
         new_sensors = jnp.where(
             join_now[:, None]
@@ -719,7 +746,6 @@ def make_locate_update(
         # (insertion/age) order is discarded wholesale, and remove_seed
         # (multilateration.py:160-167) prunes earlier seed-sharers only
         # when the solve succeeded.
-        returned = any_complete & grid_ok
         same_seed = (
             (state.sensors[:, 0] == state.sensors[gidx, 0])
             & (state.onsets[:, 0] == state.onsets[gidx, 0])

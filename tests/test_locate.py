@@ -312,6 +312,59 @@ class TestJittableLocator:
         counts = np.asarray(state.count)
         assert counts.sum() == 1 and counts.max() == 1
 
+    def test_infeasible_old_completer_does_not_mask_strike(self):
+        """Two groups complete on the same onset: a stale-seeded older
+        group whose lag-map cell is infeasible, and the true strike
+        group.  The reference only returns at a completing group whose
+        cell is FEASIBLE (multilateration.py:507-527) — the infeasible
+        older group is kept as an inert 3-member group (:531) and must
+        not mask the strike's emit."""
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        update = make_locate_update(m)
+        state = locator_init(8)
+        c = speed_of_sound(100, medium="drumhead")
+        x, y = 3.0, 2.0
+        base = 10000
+        d = [np.hypot(x - sx, y - sy) for (sx, sy, _) in xyz]
+        events = sorted(
+            (base + int(round(d[ch] / c * SR)), ch) for ch in range(3)
+        )
+        (t1, ch_a), (t2, ch_b), (t3, ch_c) = events
+        # stale seed on the strike's first channel, D samples earlier:
+        # big enough that the shifted lag pair hits no feasible cell,
+        # small enough that the pair join stays legal and the group
+        # stays alive through the strike
+        max_ab = m.max_lags[ch_a][ch_b]
+        D = 88  # found by scanning D=1..mml for this fixture; the
+        # preconditions below re-verify it against the live lag maps
+        assert t2 - (t1 - D) < max_ab  # precondition: ch_b still joins
+        assert t3 - (t1 - D) < m.max_lags[ch_a][ch_c]  # ch_c joins too
+        assert t3 - (t1 - D) <= m.max_max_lags[ch_a]  # stays alive
+        # precondition: the shifted lag pair must be lag-map infeasible
+        # (the reference's own is_legal_3d check)
+        shifted = ([ch_a, ch_b, ch_c],
+                   [t1 - D, t2, t3])
+        assert m.is_legal_3d(shifted) == (0, 0)
+
+        seq = [(t1 - D, ch_a)] + events
+        emits, points = [], []
+        for onset, ch in seq:
+            state, point, emit = update(
+                state, jnp.int32(ch), jnp.int32(onset)
+            )
+            emits.append(bool(emit))
+            points.append(np.asarray(point))
+        assert emits == [False, False, False, True]
+        px, py = points[-1][:2]
+        assert np.hypot(px - x, py - y) < 1.0
+        # the infeasible completer (older than the returning group) stays
+        # alive as an inert 3-member group; everything else is consumed
+        counts = sorted(np.asarray(state.count).tolist())
+        assert counts == [0] * 7 + [3]
+
     def test_model_bypass(self):
         """model= replaces the Newton solve with the FCNN, in-device."""
         import jax
