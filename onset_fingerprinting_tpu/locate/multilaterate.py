@@ -515,7 +515,7 @@ def make_locate_update(
     (adjust_onset) and the seed swap when refinement puts the new onset
     first (multilateration.py:443-449).  Known deviation: the reference
     refines against EVERY candidate group while iterating; this step
-    refines against one candidate (the first matching slot) — identical
+    refines against one candidate (the oldest matching group) — identical
     whenever at most one group is live for the incoming onset (the
     common case), diverging only when overlapping strikes keep several
     candidate seeds alive at once.
@@ -590,7 +590,11 @@ def make_locate_update(
                     axis=1,
                 )
             )
-            gj = jnp.argmax(cand)
+            # oldest candidate = the one the reference refines first
+            # (insertion order); slots are recycled out of order
+            gj = jnp.argmin(
+                jnp.where(cand, state.age, jnp.int32(1 << 24))
+            )
             o0 = state.onsets[gj, 0]
             s0 = seed0[gj]
             pos0 = o0 - win_start
