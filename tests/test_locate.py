@@ -365,6 +365,55 @@ class TestJittableLocator:
         counts = sorted(np.asarray(state.count).tolist())
         assert counts == [0] * 7 + [3]
 
+    def test_differential_fuzz_vs_host(self):
+        """Differential fuzz: random strikes with injected garbage onsets
+        through BOTH the host parity class (a transliteration of the
+        reference's locate loop, duplicate-append quirk included) and the
+        jittable update must produce the same emit pattern and matching
+        points.  Garbage onsets create stale seeds that exercise the
+        insertion-order completion/purge semantics beyond the scripted
+        scenarios above."""
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        update = make_locate_update(m)
+        state = locator_init(8)
+        c = speed_of_sound(100, medium="drumhead")
+        rng = np.random.default_rng(7)
+        t = 20000
+        mml = int(max(m.max_max_lags))
+        n_emit = 0
+        for k in range(60):
+            r = np.sqrt(rng.uniform(0.01, 0.64)) * radius
+            ang = rng.uniform(0, 2 * np.pi)
+            x, y = r * np.cos(ang), r * np.sin(ang)
+            d = [np.hypot(x - sx, y - sy) for (sx, sy, _) in xyz]
+            ev = sorted(
+                (t + int(round(di / c * SR)), ch)
+                for ch, di in enumerate(d)
+            )
+            events = list(ev)
+            if rng.random() < 0.4:
+                gch = int(rng.integers(3))
+                events = [
+                    (ev[0][0] - int(rng.integers(20, 150)), gch)
+                ] + events
+            for onset, ch in events:
+                res = m.locate(ch, int(onset))
+                state, point, emit = update(
+                    state, jnp.int32(ch), jnp.int32(onset)
+                )
+                assert bool(emit) == (res is not None), (k, onset, ch)
+                if res is not None:
+                    n_emit += 1
+                    p = np.asarray(point)
+                    assert np.hypot(p[0] - res[0], p[1] - res[1]) < 0.1, (
+                        k, p, res,
+                    )
+            t += mml * 3 + int(rng.integers(0, 500))
+        assert n_emit >= 40  # most strikes must actually emit
+
     def test_model_bypass(self):
         """model= replaces the Newton solve with the FCNN, in-device."""
         import jax
