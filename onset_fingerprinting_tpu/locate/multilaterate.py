@@ -438,6 +438,15 @@ class MultilateratePaired:
 # Jittable fixed-capacity locator core (for the fused realtime engine)
 # ---------------------------------------------------------------------------
 
+# "Infinity" for masked int32 age comparisons.  Must exceed every real
+# age: ages rebase once ``next_age`` passes ``_AGE_REBASE`` (active groups
+# are short-lived — their span stays tiny), so real ages never reach this.
+# Plain Python ints: a module-level ``jnp`` op would run on the default
+# device at import time (see parallel/sharding.py's _BIG note).
+_AGE_INF = 2**31 - 1
+_AGE_REBASE = 2**30
+
+
 class LocatorState(NamedTuple):
     """Padded candidate-group table: slot g holds up to 3 (sensor, onset)
     members; ``count == 0`` marks a free slot."""
@@ -521,10 +530,13 @@ def make_locate_update(
     candidate seeds alive at once.
 
     Captures the locator's lag maps/sensor geometry as device constants.
-    Semantics follow Multilaterate3D.locate: group join on pairwise
-    legality, 3-way completion via joint lag-map feasibility (argmax cell as
-    the Newton initial guess), trilateration on completion, seed dedup, slot
-    eviction of stale groups.
+    Semantics follow Multilaterate3D.locate: negative-lag seed swap when
+    an adjusted onset arrives before a live group's seed
+    (multilateration.py:443-449; against the oldest such group — see the
+    in-body note), group join on pairwise legality, 3-way completion via
+    joint lag-map feasibility (argmax cell as the Newton initial guess),
+    trilateration on completion, seed dedup, slot eviction of stale
+    groups.
 
     ``model``: optional ``models.fcnn.FCNNBundle`` — replaces the Newton
     solve with the learned lags→(x, y) model inside the same device program
@@ -576,6 +588,33 @@ def make_locate_update(
         sensor = sensor.astype(jnp.int32)
         onset = onset.astype(jnp.int32)
 
+        # Negative-lag seed swap (multilateration.py:443-449): an
+        # adjustment (backtracking / CC refinement) delivered this onset
+        # EARLIER than a live group's seed — the earlier onset must seed
+        # the group, so the reference swaps the group seed with the
+        # incoming onset in-loop and continues the scan with the swapped
+        # identity.  With fixed-capacity slots we swap against the OLDEST
+        # such group (insertion order — the first the reference's loop
+        # reaches); identical whenever one group has a negative lag (the
+        # common case — out-of-order onsets need backtracking to cross a
+        # block boundary), the same bounded single-candidate deviation as
+        # the cc_refine path below.
+        lag_pre = onset - state.onsets[:, 0]
+        swap_c = (state.count > 0) & (lag_pre < 0)
+        any_swap = jnp.any(swap_c)
+        gswap = jnp.argmin(jnp.where(swap_c, state.age, _AGE_INF))
+        old_seed_s = state.sensors[gswap, 0]
+        old_seed_o = state.onsets[gswap, 0]
+        swapped_sensors = state.sensors.at[gswap, 0].set(
+            jnp.where(any_swap, sensor, old_seed_s)
+        )
+        swapped_onsets = state.onsets.at[gswap, 0].set(
+            jnp.where(any_swap, onset, old_seed_o)
+        )
+        state = state._replace(sensors=swapped_sensors, onsets=swapped_onsets)
+        sensor = jnp.where(any_swap, old_seed_s, sensor)
+        onset = jnp.where(any_swap, old_seed_o, onset)
+
         if cc_refine:
             assert window is not None and win_start is not None
             seed0 = jnp.maximum(state.sensors[:, 0], 0)
@@ -593,7 +632,7 @@ def make_locate_update(
             # oldest candidate = the one the reference refines first
             # (insertion order); slots are recycled out of order
             gj = jnp.argmin(
-                jnp.where(cand, state.age, jnp.int32(1 << 24))
+                jnp.where(cand, state.age, jnp.int32(_AGE_INF))
             )
             o0 = state.onsets[gj, 0]
             s0 = seed0[gj]
@@ -678,7 +717,7 @@ def make_locate_update(
         feasible = completes & grid_ok_all
         returned = jnp.any(feasible)
         # oldest feasible completer (insertion order = ascending age)
-        comp_age = jnp.where(feasible, state.age, jnp.int32(1 << 24))
+        comp_age = jnp.where(feasible, state.age, jnp.int32(_AGE_INF))
         gidx = jnp.argmin(comp_age)
 
         # --- completion path (computed unconditionally, masked by validity)
@@ -767,8 +806,12 @@ def make_locate_update(
         # group (a bounce joining that phantom seed could emit a second
         # point for the same strike).
         free = new_count == 0
-        big = jnp.int32(1 << 24)
-        evict_score = jnp.where(free, state.age - big, state.age)
+        # free slots must always lose to active ones: bias them below any
+        # real age (ages are rebased to stay < _AGE_REBASE, so the offset
+        # cannot underflow int32)
+        evict_score = jnp.where(
+            free, state.age - jnp.int32(_AGE_REBASE), state.age
+        )
         ins = jnp.argmin(evict_score)
         ins_sensors = new_sensors.at[ins].set(jnp.full((3,), -1, jnp.int32))
         ins_sensors = ins_sensors.at[ins, 0].set(sensor)
@@ -782,13 +825,30 @@ def make_locate_update(
         new_age = jnp.where(
             returned, state.age, state.age.at[ins].set(state.next_age)
         )
+        new_next = state.next_age + 1
+
+        # Age rebase: next_age grows by one per update without bound; the
+        # _AGE_INF sentinels and the evict-score bias both assume real
+        # ages stay below _AGE_REBASE.  Active groups age out within a
+        # few hundred samples, so once next_age crosses the threshold the
+        # live span is tiny — shift everything down by the smallest
+        # active age (free-slot ages are never read unmasked).
+        base = jnp.min(jnp.where(new_count > 0, new_age, new_next))
+        shift = jnp.where(new_next > jnp.int32(_AGE_REBASE), base, 0)
+        # zero (not shift) free slots so repeated rebases can't compound
+        # their stale ages toward int32 underflow
+        rebased_age = jnp.where(
+            new_count > 0,
+            new_age - shift,
+            jnp.where(shift > 0, 0, new_age),
+        )
 
         new_state = LocatorState(
             sensors=new_sensors,
             onsets=new_onsets,
             count=new_count,
-            age=new_age,
-            next_age=state.next_age + 1,
+            age=rebased_age,
+            next_age=new_next - shift,
         )
         return new_state, point, emit
 

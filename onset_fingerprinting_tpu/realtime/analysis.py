@@ -263,6 +263,7 @@ class OnlineAnalysis:
         self.recording_end = 0
         self.last_bpm: Optional[float] = None
         self._hopped = audio_ring.counter  # poll() cursor
+        self._prev_logspec = None  # last hop's unclamped log-spectrum
 
     # -- per-hop updates ------------------------------------------------------
 
@@ -294,9 +295,15 @@ class OnlineAnalysis:
 
     def _onset_strength(self) -> None:
         mag = magsquared(self.stft[-1])
-        magm1 = magsquared(self.stft[-2])
         s, smax = _log_spec(jnp.asarray(mag))
-        sm1, _ = _log_spec(jnp.asarray(magm1))
+        # previous frame's UNclamped log-spec: cached from the last hop
+        # (hops run in stream order, live and poll() catch-up alike) —
+        # recomputing it from stft[-2] every hop would double the log
+        # work and add a dispatch on the per-hop realtime path
+        sm1 = self._prev_logspec
+        if sm1 is None:
+            sm1, _ = _log_spec(jnp.asarray(magsquared(self.stft[-2])))
+        self._prev_logspec = s
         # reference order (recording.py:291-293): feed the UNclamped frame
         # max to the tracker first, then clamp both frames at the UPDATED
         # tracker max - 80

@@ -531,8 +531,18 @@ class RealtimeEngine:
         if getattr(self, "_pipe_q", None) is not None:
             # a previous stop_pipeline timed out with the dispatcher wedged:
             # only recover once that thread has actually exited — two
-            # dispatchers would race the non-atomic self.state update
+            # dispatchers would race the non-atomic self.state update.
+            # Warn rather than silently no-op: the caller would otherwise
+            # believe a dispatcher is draining its blocks when the wedged
+            # one is about to exit on the stale stop sentinel.
             if self._pipe_thread.is_alive():
+                warnings.warn(
+                    "start_pipeline: previous dispatcher is still wedged "
+                    "(stop_pipeline timed out) — not starting a second "
+                    "one; retry once it exits",
+                    UserWarning,
+                    stacklevel=2,
+                )
                 return
             self._pipe_q = None
         self._pipe_q = q = _queue.Queue(maxsize=depth)
@@ -543,6 +553,18 @@ class RealtimeEngine:
             while True:
                 item = q.get()
                 if item is None:
+                    # blocks enqueued BEHIND the stop sentinel (a caller
+                    # racing stop_pipeline, or feeding a queue whose
+                    # dispatcher was wedged at stop time) will never be
+                    # processed — count them as drops, never lose them
+                    # silently
+                    leftover = q.qsize()
+                    if leftover:
+                        self.pipeline_drops += leftover
+                        if self.metrics is not None:
+                            self.metrics.count(
+                                "engine.pipeline.drops", float(leftover)
+                            )
                     return
                 t0 = time.perf_counter()
                 self.process_nosync(item)

@@ -399,6 +399,16 @@ class TestJittableLocator:
                 events = [
                     (ev[0][0] - int(rng.integers(20, 150)), gch)
                 ] + events
+            elif rng.random() < 0.5:
+                # out-of-order delivery: the earliest onset arrives later
+                # (backtracking crossed a block boundary) — exercises the
+                # negative-lag seed swap in both implementations.  Only
+                # for strikes without an injected garbage seed: with two
+                # live groups the host swaps mid-scan and continues with
+                # the swapped identity, a documented single-candidate
+                # deviation of the jittable step.
+                first = events.pop(0)
+                events.insert(int(rng.integers(1, 3)), first)
             for onset, ch in events:
                 res = m.locate(ch, int(onset))
                 state, point, emit = update(
@@ -413,6 +423,82 @@ class TestJittableLocator:
                     )
             t += mml * 3 + int(rng.integers(0, 500))
         assert n_emit >= 40  # most strikes must actually emit
+
+    def test_negative_lag_seed_swap_matches_host(self):
+        """Backtracking can deliver an onset EARLIER than a live group's
+        seed (negative lag).  The reference swaps the group seed with the
+        incoming onset and carries on (multilateration.py:443-449); the
+        jittable update must do the same, or out-of-order arrivals
+        silently miss strikes the host emits."""
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        update = make_locate_update(m)
+        c = speed_of_sound(100, medium="drumhead")
+        x, y = 4.0, -3.0
+        d = [np.hypot(x - sx, y - sy) for (sx, sy, _) in xyz]
+        ev = sorted(
+            (10000 + int(round(di / c * SR)), ch)
+            for ch, di in enumerate(d)
+        )
+        # earliest onset delivered last (and mid): its lag vs the live
+        # seed is negative, forcing the swap on the 2nd/3rd delivery
+        for order in ([1, 2, 0], [1, 0, 2]):
+            state = locator_init(8)
+            m.ongoing = []
+            emits_h, emits_j, pts = [], [], []
+            for i in order:
+                onset, ch = ev[i]
+                res = m.locate(ch, int(onset))
+                state, point, emit = update(
+                    state, jnp.int32(ch), jnp.int32(onset)
+                )
+                emits_h.append(res is not None)
+                emits_j.append(bool(emit))
+                if res is not None:
+                    pts.append((np.asarray(point), res))
+            assert emits_j == emits_h, order
+            assert emits_j[-1], order
+            p, res = pts[-1]
+            assert np.hypot(p[0] - res[0], p[1] - res[1]) < 0.1, order
+            assert np.hypot(p[0] - x, p[1] - y) < 1.0, order
+
+    def test_age_rebase_long_session(self):
+        """``next_age`` grows by one per update; the _AGE_INF sentinel
+        comparisons and the evict-score bias assume real ages stay below
+        _AGE_REBASE.  Once the counter crosses the threshold the state
+        rebases, so a locator that has run for weeks keeps emitting —
+        simulated by starting the counter at the threshold."""
+        from onset_fingerprinting_tpu.locate.multilaterate import (
+            _AGE_REBASE,
+        )
+
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        update = make_locate_update(m)
+        state = locator_init(8)._replace(
+            next_age=jnp.int32(_AGE_REBASE + 1)
+        )
+        c = speed_of_sound(100, medium="drumhead")
+        x, y = 3.0, 2.0
+        d = [np.hypot(x - sx, y - sy) for (sx, sy, _) in xyz]
+        ev = sorted(
+            (10000 + int(round(di / c * SR)), ch)
+            for ch, di in enumerate(d)
+        )
+        emits = []
+        for onset, ch in ev:
+            state, point, emit = update(
+                state, jnp.int32(ch), jnp.int32(onset)
+            )
+            emits.append(bool(emit))
+        assert emits == [False, False, True]
+        p = np.asarray(point)
+        assert np.hypot(p[0] - x, p[1] - y) < 1.0
+        assert int(state.next_age) < 100  # rebased back near zero
 
     def test_model_bypass(self):
         """model= replaces the Newton solve with the FCNN, in-device."""
