@@ -25,9 +25,14 @@ def peak_pick(
 ) -> np.ndarray:
     """librosa.util.peak_pick-compatible greedy peak selection.
 
-    ``x[n]`` is a peak iff it equals ``max(x[n-pre_max : n+post_max])``, is at
-    least ``mean(x[n-pre_avg : n+post_avg]) + delta``, and follows the last
-    reported peak by more than ``wait`` samples.
+    ``x[n]`` is a peak iff it is nonzero, equals
+    ``max(x[n-pre_max : n+post_max])``, is at least
+    ``mean(x[n-pre_avg : n+post_avg]) + delta``, and follows the last
+    reported peak by more than ``wait`` samples.  The nonzero condition is
+    librosa's: its candidate mask is ``x * (x == mov_max)`` read through
+    ``np.nonzero``, so a zero-valued sample can never report as a peak (and
+    in particular silence at the array edges neither reports nor advances
+    the ``wait`` suppression chain).
     """
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
@@ -36,7 +41,7 @@ def peak_pick(
     peaks = []
     last = -1 - wait
     for i in range(n):
-        if i <= last + wait:
+        if x[i] == 0.0 or i <= last + wait:
             continue
         lo = max(0, i - pre_max)
         hi = min(n, i + post_max)

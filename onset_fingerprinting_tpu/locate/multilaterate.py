@@ -598,7 +598,14 @@ def make_locate_update(
         # reaches); identical whenever one group has a negative lag (the
         # common case — out-of-order onsets need backtracking to cross a
         # block boundary), the same bounded single-candidate deviation as
-        # the cc_refine path below.
+        # the cc_refine path below.  The swap can leave a duplicate-sensor
+        # group when the incoming sensor is already a non-seed member of
+        # the swapped group (the reference drops such a group at
+        # completion via its group[0][0] == group[0][1] break); here the
+        # slot lives on inert — its completion feasibility reads
+        # maps[i, i], which is nan-padded, so every grid cell is
+        # infeasible and the slot can never emit; it just occupies
+        # capacity until it ages out.
         lag_pre = onset - state.onsets[:, 0]
         swap_c = (state.count > 0) & (lag_pre < 0)
         any_swap = jnp.any(swap_c)

@@ -60,6 +60,7 @@ def run_location_hpo(
     subsample: int = 8,
     seed: int = 0,
     mesh=None,
+    sampler: str = "tpe",
 ) -> Study:
     """Full pipeline: MCPOSD load → hit-level train / val / test split →
     HPO study over CCCNN configs → best hp_metric (train.py:22-145).
@@ -79,7 +80,7 @@ def run_location_hpo(
     val = (np.asarray(val_ds.x), np.asarray(val_ds.y))
     test = (np.asarray(test_ds.x), np.asarray(test_ds.y))
 
-    study = Study(seed=seed)
+    study = Study(seed=seed, sampler=sampler)
 
     def objective(trial: Trial) -> float:
         model = build_cccnn(trial, channels)

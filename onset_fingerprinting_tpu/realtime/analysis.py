@@ -264,6 +264,7 @@ class OnlineAnalysis:
         self.last_bpm: Optional[float] = None
         self._hopped = audio_ring.counter  # poll() cursor
         self._prev_logspec = None  # last hop's unclamped log-spectrum
+        self._prev_logspec_end = None  # absolute end counter of that hop
 
     # -- per-hop updates ------------------------------------------------------
 
@@ -290,20 +291,25 @@ class OnlineAnalysis:
         )
         spec = np.asarray(_stft_hop(self.window, frame))
         self.stft.write(spec[None])
-        self._onset_strength()
+        self._onset_strength(int(end))
         self._tempogram()
 
-    def _onset_strength(self) -> None:
+    def _onset_strength(self, end: int) -> None:
         mag = magsquared(self.stft[-1])
         s, smax = _log_spec(jnp.asarray(mag))
         # previous frame's UNclamped log-spec: cached from the last hop
-        # (hops run in stream order, live and poll() catch-up alike) —
-        # recomputing it from stft[-2] every hop would double the log
-        # work and add a dispatch on the per-hop realtime path
+        # when that hop was at exactly one hop_length earlier (live and
+        # poll() catch-up alike) — recomputing it from stft[-2] every hop
+        # would double the log work and add a dispatch on the per-hop
+        # realtime path.  hop(end=...) permits arbitrary positions, so the
+        # cache is keyed by the absolute end counter and falls back to the
+        # stft[-2] recompute whenever the stream position does not follow
+        # consecutively (a stale cached frame would silently corrupt flux).
         sm1 = self._prev_logspec
-        if sm1 is None:
+        if sm1 is None or self._prev_logspec_end != end - self.cfg.hop_length:
             sm1, _ = _log_spec(jnp.asarray(magsquared(self.stft[-2])))
         self._prev_logspec = s
+        self._prev_logspec_end = end
         # reference order (recording.py:291-293): feed the UNclamped frame
         # max to the tracker first, then clamp both frames at the UPDATED
         # tracker max - 80

@@ -547,6 +547,7 @@ class RealtimeEngine:
             self._pipe_q = None
         self._pipe_q = q = _queue.Queue(maxsize=depth)
         self.pipeline_drops = 0
+        self._drops_lock = threading.Lock()
 
         def loop():
             # bind the queue: self._pipe_q may be swapped by stop/start
@@ -557,10 +558,20 @@ class RealtimeEngine:
                     # racing stop_pipeline, or feeding a queue whose
                     # dispatcher was wedged at stop time) will never be
                     # processed — count them as drops, never lose them
-                    # silently
-                    leftover = q.qsize()
+                    # silently.  Drain with get_nowait and count actual
+                    # items (a qsize() snapshot would miss blocks enqueued
+                    # concurrently after the sentinel was dequeued, and
+                    # would count stale stop sentinels as blocks).
+                    leftover = 0
+                    while True:
+                        try:
+                            if q.get_nowait() is not None:
+                                leftover += 1
+                        except _queue.Empty:
+                            break
                     if leftover:
-                        self.pipeline_drops += leftover
+                        with self._drops_lock:
+                            self.pipeline_drops += leftover
                         if self.metrics is not None:
                             self.metrics.count(
                                 "engine.pipeline.drops", float(leftover)
@@ -587,7 +598,11 @@ class RealtimeEngine:
         try:
             self._pipe_q.put_nowait(np.array(block, np.float32, copy=True))
         except _queue.Full:
-            self.pipeline_drops += 1
+            # the dispatcher thread also mutates pipeline_drops (sentinel
+            # drain) — the lock keeps the read-modify-write lossless; it is
+            # uncontended in steady state (dispatcher only takes it at stop)
+            with self._drops_lock:
+                self.pipeline_drops += 1
             if self.metrics is not None:
                 self.metrics.count("engine.pipeline.drops")
         if self.metrics is not None:

@@ -464,6 +464,61 @@ class TestJittableLocator:
             assert np.hypot(p[0] - res[0], p[1] - res[1]) < 0.1, order
             assert np.hypot(p[0] - x, p[1] - y) < 1.0, order
 
+    def test_two_live_groups_negative_lag_divergence_is_benign(self):
+        """When TWO live groups both see a negative lag, the reference
+        chains swaps across groups in scan order while the jittable update
+        swaps only the oldest — a documented bounded deviation
+        (multilaterate.py negative-lag block).  This pins that the
+        divergence is benign: neither path emits a spurious hit on the
+        adversarial deliveries, and both recover to emit the next clean
+        strike at the same point."""
+        radius = DIAM / 2
+        polar, xyz = sensors_3d(radius)
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        update = make_locate_update(m)
+        state = locator_init(8)
+        mml = int(max(m.max_max_lags))
+        c = speed_of_sound(100, medium="drumhead")
+
+        # Two live groups seeded by the SAME sensor (the second ch0 onset
+        # is a member of group A, so it opens group B), then an onset
+        # earlier than both seeds: negative lag against A AND B.
+        t1 = 10000
+        t2 = t1 + max(2, mml // 4)
+        t0 = t1 - 40
+        for ch, onset in [(0, t1), (0, t2), (1, t0)]:
+            res = m.locate(ch, onset)
+            state, point, emit = update(
+                state, jnp.int32(ch), jnp.int32(onset)
+            )
+            assert res is None, (ch, onset)
+            assert not bool(emit), (ch, onset)
+
+        # After the stale groups age out, a clean strike must emit
+        # identically through both paths.
+        x, y = 3.0, -2.0
+        t = t2 + mml * 3 + 1000
+        d = [np.hypot(x - sx, y - sy) for (sx, sy, _) in xyz]
+        ev = sorted(
+            (t + int(round(di / c * SR)), ch) for ch, di in enumerate(d)
+        )
+        emits_h, emits_j, pts = [], [], []
+        for onset, ch in ev:
+            res = m.locate(ch, int(onset))
+            state, point, emit = update(
+                state, jnp.int32(ch), jnp.int32(onset)
+            )
+            emits_h.append(res is not None)
+            emits_j.append(bool(emit))
+            if res is not None and bool(emit):
+                pts.append((np.asarray(point), res))
+        assert emits_h == emits_j
+        assert emits_h[-1] and len(pts) == 1
+        p, res = pts[0]
+        assert np.hypot(p[0] - res[0], p[1] - res[1]) < 0.1
+        assert np.hypot(p[0] - x, p[1] - y) < 1.0
+
     def test_age_rebase_long_session(self):
         """``next_age`` grows by one per update; the _AGE_INF sentinel
         comparisons and the evict-score bias assume real ages stay below

@@ -233,6 +233,39 @@ class TestOnlineAnalysis:
         bpm = ana.bpm(-800)
         assert 110 < bpm < 130 or 55 < bpm < 65  # octave ambiguity allowed
 
+    def test_out_of_order_hop_end_never_uses_stale_cache(self):
+        """hop(end=...) permits arbitrary stream positions; the cached
+        previous log-spectrum is only valid when the new hop follows the
+        cached one by exactly one hop_length.  A non-consecutive hop must
+        fall back to the stft[-2] recompute (the None path's semantics) —
+        pinned by comparing against an instance whose cache is cleared
+        before the jump."""
+        cfg = RealtimeConfig(
+            sr=48000, blocksize=256, hop_length=256, n_fft=1024,
+            tg_win_length=384, max_recording_seconds=8,
+        )
+        audio = self._click_track(bpm=120, seconds=2, sr=48000)
+        hop = cfg.hop_length
+
+        def run(clear_cache_before_jump):
+            ring = CircularArray(np.zeros((cfg.rec_n, 1), np.float32))
+            ana = OnlineAnalysis(cfg, ring)
+            for i in range(12):
+                ring.write(audio[i * hop : (i + 1) * hop, None])
+                ana.hop()
+            # replay an EARLIER position out of order (end jumps backward
+            # by 3 hops), then a forward jump skipping 2 hops
+            if clear_cache_before_jump:
+                ana._prev_logspec = None
+            ana.hop(end=9 * hop)
+            if clear_cache_before_jump:
+                ana._prev_logspec = None
+            ring.write(audio[12 * hop : 15 * hop, None])
+            ana.hop(end=15 * hop)
+            return np.asarray(ana.onset_env[-3:])
+
+        np.testing.assert_array_equal(run(False), run(True))
+
     def test_poll_catches_up_at_true_positions(self):
         """A worker that polls less often than once per hop must produce
         the exact per-hop analysis sequence of an in-step worker: poll()
