@@ -13,5 +13,6 @@ from onset_fingerprinting_tpu.parallel.sharding import (
     detect_offline_sharded,
     detect_offline_time_sharded,
     make_detect_fingerprint_sharded,
+    make_detect_locate_sharded,
     shard_batch,
 )

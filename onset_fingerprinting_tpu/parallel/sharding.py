@@ -596,6 +596,114 @@ def make_detect_fingerprint_sharded(
     return run
 
 
+def make_detect_locate_sharded(
+    static,
+    params: DetectorParams,
+    state: DetectorState,
+    shape: tuple,
+    mesh: Mesh,
+    locator,
+    model=None,
+    event_capacity: int = 32,
+    locator_capacity: int = 8,
+    window: int = 256,
+    pre: int = 64,
+    axis: str = "data",
+):
+    """Full sharded serve datapath — detect → jittable locate →
+    (optionally) classify — as ONE ``shard_map`` program.
+
+    The multi-chip form of the realtime engine's fused per-block step
+    (``realtime/engine.py::build_step``; reference datapath
+    multilateration.py:428-575 inside the audio callback): a batch of
+    independent drum streams ``[S, T, C]`` is sharded over the mesh axis,
+    each device detects onsets on its streams, feeds them in onset order
+    through the fixed-capacity jittable locator (a ``lax.scan`` — a
+    stream's event sequence is inherently sequential, so streams are the
+    parallel axis), and classifies a window around each located hit with
+    ``model``.  No collectives are needed until the caller aggregates:
+    streams are independent, which is exactly why this stage scales
+    linearly over ICI.
+
+    :param locator: host :class:`~..locate.multilaterate.Multilaterate3D`
+        whose lag tables are baked into the jitted update.
+    :param model: optional flax module ``[B, C, window] → [B, out]``
+        applied to every event slot's window (zero-masked where not
+        located).
+    :returns: ``run(x, model_params) -> (points [S, E, 2] cm,
+        onsets [S, E] int32, emits [S, E] bool, preds [S, E, out])`` with
+        ``E = event_capacity``; slots beyond a stream's real event count
+        have ``emits`` False.  Detected events beyond ``event_capacity``
+        per stream are dropped oldest-last (fixed-capacity contract — size
+        it to the serve horizon).
+    """
+    from jax import shard_map
+
+    from onset_fingerprinting_tpu.locate.multilaterate import (
+        locator_init,
+        make_locate_update,
+    )
+
+    n_streams, t, c = shape
+    n_dev = mesh.shape[axis]
+    assert n_streams % n_dev == 0, "streams must divide the mesh axis"
+    bsz = static.block_size
+    locate_update = make_locate_update(locator, capacity=locator_capacity)
+    e = event_capacity
+
+    def one_stream(xs, mp):  # [T, C]
+        _, (on, deltas, _) = detect_offline(static, params, state, xs)
+        blk = jax.lax.broadcasted_iota(jnp.int32, on.shape, 0)
+        onset_abs = blk * bsz + deltas
+        key = jnp.where(on, onset_abs, _BIG).reshape(-1)
+        ch = jax.lax.broadcasted_iota(jnp.int32, on.shape, 1).reshape(-1)
+        order = jnp.argsort(key)[:e]
+        ev_on = key[order]
+        ev_ch = ch[order]
+
+        def step(lstate, ev):
+            onset, sensor = ev
+            valid = onset < _BIG
+            new, point, emit = locate_update(lstate, sensor, onset)
+            lstate = jax.tree.map(
+                lambda n_, o_: jnp.where(valid, n_, o_), new, lstate
+            )
+            return lstate, (point, valid & emit)
+
+        _, (points, emits) = jax.lax.scan(
+            step, locator_init(locator_capacity), (ev_on, ev_ch)
+        )
+        if model is None:
+            return points, ev_on, emits, jnp.zeros((e, 0), jnp.float32)
+        starts = jnp.clip(
+            jnp.where(ev_on < _BIG, ev_on, 0) - pre, 0, t - window
+        )
+        idx = starts[:, None] + jnp.arange(window)[None, :]
+        wins = jnp.take(xs, idx, axis=0)  # [E, window, C]
+        preds = model.apply(mp, wins.transpose(0, 2, 1))
+        return points, ev_on, emits, jnp.where(emits[:, None], preds, 0.0)
+
+    def per_shard(xb, mp):  # [S_local, T, C]
+        return jax.vmap(one_stream, in_axes=(0, None))(xb, mp)
+
+    jitted = jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+
+    def run(x, model_params=None):
+        return jitted(
+            jax.device_put(x, NamedSharding(mesh, P(axis))), model_params
+        )
+
+    return run
+
+
 def detect_fingerprint_sharded(
     static,
     params: DetectorParams,

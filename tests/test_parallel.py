@@ -420,3 +420,106 @@ class TestDetectFingerprintSharded:
             np.asarray(preds_u)[kept], preds[kept], atol=1e-5
         )
         assert not np.asarray(preds_u)[~valid_u].any()
+
+
+class TestDetectLocateSharded:
+    def test_full_serve_datapath_matches_host(self, mesh):
+        """detect → jittable locate → classify as one sharded program
+        (parallel.make_detect_locate_sharded): every located point matches
+        the HOST Multilaterate3D fed the same event stream, and matches
+        ground truth within 2 cm (reference serve datapath
+        multilateration.py:428-575)."""
+        from onset_fingerprinting_tpu.core.coords import (
+            polar_to_cartesian,
+            speed_of_sound,
+        )
+        from onset_fingerprinting_tpu.locate import Multilaterate3D
+        from onset_fingerprinting_tpu.models.cnn import CNN
+        from onset_fingerprinting_tpu.parallel import (
+            make_detect_locate_sharded,
+        )
+        from onset_fingerprinting_tpu.parallel.sharding import (
+            events_from_dense,
+        )
+
+        sr = 96000
+        diameter = 14 * 2.54
+        radius = diameter / 2
+        sensor_polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+        c = speed_of_sound(100, medium="drumhead")
+        sensors_xy = [
+            polar_to_cartesian(r * radius, phi)
+            for (r, phi, _) in sensor_polar
+        ]
+        locator = Multilaterate3D(
+            sensor_locations=sensor_polar, drum_diameter=diameter,
+            medium="drumhead", sr=sr,
+        )
+
+        S, T = 8, 128 * 90
+        rng = np.random.default_rng(3)
+        streams = rng.normal(0, 1e-4, (S, T, 3)).astype(np.float32)
+        tt = np.arange(600)
+        burst = (
+            np.sin(2 * np.pi * 4000 / sr * tt) * np.exp(-tt / 150) * 0.6
+        ).astype(np.float32)
+        truths = []
+        for s in range(S):
+            for k, base in enumerate((3000, 7500)):
+                r = (0.2 + 0.5 * ((s + k) % 4) / 4) * radius
+                x, y = polar_to_cartesian(r, 45.0 * s + 120.0 * k)
+                for ch, (sx, sy) in enumerate(sensors_xy):
+                    d = int(round(np.hypot(x - sx, y - sy) / c * sr))
+                    streams[s, base + d : base + d + 600, ch] += burst
+                truths.append((s, float(x), float(y)))
+
+        cfg = DetectorConfig(
+            n_channels=3, block_size=128, hipass_freq=0.0, sr=sr,
+            backtrack=True,
+        )
+        static, params, state = detector_init(cfg)
+        model = CNN(output_size=2, layer_sizes=(4,))
+        mp = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 128), jnp.float32),
+            train=False,
+        )
+        run = make_detect_locate_sharded(
+            static, params, state, (S, T, 3), mesh, locator,
+            model=model, event_capacity=16, window=128, pre=32,
+        )
+        points, onsets, emits, preds = run(jnp.asarray(streams), mp)
+        points = np.asarray(points)
+        emits = np.asarray(emits)
+        preds = np.asarray(preds)
+
+        # host-oracle parity per stream: same detector events through the
+        # host locator must emit the same points in the same order
+        for s in range(S):
+            _, (on, deltas, _) = detect_offline(
+                static, params, state, jnp.asarray(streams[s])
+            )
+            chans, onss = events_from_dense(
+                np.asarray(on), np.asarray(deltas), cfg.block_size
+            )
+            locator.ongoing = []
+            host_pts = []
+            for onset, ch in sorted(zip(onss, chans)):
+                res = locator.locate(int(ch), int(onset))
+                if res is not None:
+                    host_pts.append(res)
+            dev_pts = points[s][emits[s]]
+            assert len(dev_pts) == len(host_pts), s
+            for dp, hp in zip(dev_pts, host_pts):
+                assert np.hypot(dp[0] - hp[0], dp[1] - hp[1]) < 0.1, s
+
+        # ground truth: most strikes located within 2 cm
+        errs = []
+        for s, x, y in truths:
+            if emits[s].any():
+                p = points[s][emits[s]]
+                errs.append(np.hypot(p[:, 0] - x, p[:, 1] - y).min())
+        assert len(errs) >= len(truths) * 3 // 4
+        assert np.median(errs) < 2.0
+        # classify stage: finite predictions exactly on located slots
+        assert np.isfinite(preds[emits]).all()
+        assert not preds[~emits].any()
