@@ -20,9 +20,15 @@ Env knobs:
     OFPTPU_BENCH_SWEEP    "1" → also sweep C=1024..16384 (stderr table)
     OFPTPU_BENCH_COMPACT  "0" → padded per-stream hit slots instead of the
                           globally compacted hit list (default "1")
-    OFPTPU_BENCH_CONV     CCCNN conv-stack impl: "pallas" (default, fused
-                          whole-stack kernel) or "conv" (XLA conv)
+    OFPTPU_BENCH_CONV     CCCNN conv-stack impl: "pallas" (fused whole-stack
+                          kernel) or "conv" (XLA conv).  Unset → pallas when
+                          the cache's warm sentinel exists, else conv (the
+                          cold-cache guard: first-ever Mosaic compile of the
+                          fused stack is 350-540 s)
+    OFPTPU_BENCH_ANCHORED "0" → legacy block-aligned fingerprint windows
+                          (default "1": sample-anchored, onset at index PRE)
     OFPTPU_COMPILE_CACHE  persistent compile cache dir (default .jax_cache)
+    OFPTPU_CLOCK_HZ / OFPTPU_PEAK_FLOPS  roofline constants (v5e defaults)
 """
 
 from __future__ import annotations
@@ -56,6 +62,47 @@ BURST_MARGIN = 100
 def n_injected(t: int) -> int:
     """Number of injected onsets per stream in ``t`` samples."""
     return max((t - HIT_FIRST - BURST_LEN - BURST_MARGIN) // HIT_PERIOD + 1, 0)
+
+
+# -- roofline constants (v5e; env-overridable for other parts) ---------------
+# TensorCore clock used by the cycles/sample accounting (the same 940 MHz
+# the pallas_detector.py speed-of-light analysis assumes).
+CLOCK_HZ = float(os.environ.get("OFPTPU_CLOCK_HZ", 940e6))
+# bf16 MXU peak per chip (v5e public spec: 197 TFLOPs bf16).
+PEAK_BF16_FLOPS = float(os.environ.get("OFPTPU_PEAK_FLOPS", 197e12))
+# Algorithmic floor of the fused detector: ~176 vector-op issues per sample
+# row per 32-lane-tile call (the issue count of the three recurrence loops +
+# hoisted transcendental stages — derivation in ops/pallas_detector.py's
+# speed-of-light note).  pct_sol = floor / measured.
+DETECT_ALGO_ISSUES = 176.0
+# Lane width of one detector kernel unit: 32 lane tiles x 128 lanes.
+DETECT_TILE_CHANNELS = 32 * 128
+
+
+def flagship_flops_per_window(
+    window: int = WINDOW,
+    cps: int = CHANNELS_PER_STREAM,
+    feats: int = 5,
+    kernels: tuple = (1, 33, 64, 15, 15, 15, 1),
+) -> float:
+    """Algorithmic FLOPs of one fingerprint window through the flagship
+    CCCNN (conv stack + DFT self-CC + dense head + the gather's lane-select
+    matmul) — the useful work, independent of conv_impl/precision passes.
+
+    conv ('same' padding, per channel): 2*W*sum_l(k_l * in_l * out_l);
+    DFT self-CC (ops/xcorr.py::batch_self_correlate_dft): two forward
+    matmuls [K, W] @ [W, W] (cos + sin) per channel, inverse after the
+    K-sum [1, W] @ [W, 2W-1] per channel; dense head 2*(cps*(2W-1)+cps)*2;
+    gather select: 2*8*128*(W+8).
+    """
+    conv = 2.0 * window * sum(
+        k * (1 if i == 0 else feats) * feats for i, k in enumerate(kernels)
+    ) * cps
+    dft_fwd = 2 * (2.0 * feats * window * window) * cps
+    dft_inv = 2.0 * window * (2 * window - 1) * cps
+    head = 2.0 * (cps * (2 * window - 1) + cps) * 2
+    gather = 2.0 * 8 * 128 * (window + 8)
+    return conv + dft_fwd + dft_inv + head + gather
 
 
 class HitCapacityError(RuntimeError):
@@ -94,6 +141,60 @@ def make_audio(t: int, c: int, seed: int = 0):
         (idx >= 0) & (idx - phase <= fit), pattern[phase], 0.0
     )
     return x + profile[:, None]
+
+
+def _conv_warm_sentinel() -> Path:
+    """Marker recording that conv_stack_fused has compiled successfully
+    into THIS persistent cache at the serving configuration.  The first-ever
+    Mosaic compile of the fused conv stack is 350-540 s (STATUS r3); on a
+    cold cache the bench must not stall 9 minutes before its first
+    measurement, so absence of this marker (and of an explicit
+    OFPTPU_BENCH_CONV) falls the process back to conv_impl='conv'."""
+    cache = Path(os.environ.get("OFPTPU_COMPILE_CACHE", ".jax_cache"))
+    sig = f"w{WINDOW}_cps{CHANNELS_PER_STREAM}_k1-33-64-15-15-15-1_f5"
+    return cache / f"ofptpu_conv_stack_warm_{sig}"
+
+
+_conv_impl_choice: str | None = None
+
+
+def pick_conv_impl() -> str:
+    """Serving conv-stack implementation with the cold-cache guard.
+
+    Explicit ``OFPTPU_BENCH_CONV`` always wins.  Otherwise 'pallas' only
+    when the warm sentinel says this cache has already compiled the fused
+    stack; a cold cache gets 'conv' (XLA conv, ~3x slower fingerprint
+    stage but compiles in seconds) with a warning telling the operator how
+    to warm the kernel once.  Memoized per process (one decision, one
+    warning)."""
+    global _conv_impl_choice
+    if _conv_impl_choice is not None:
+        return _conv_impl_choice
+    env = os.environ.get("OFPTPU_BENCH_CONV")
+    if env:
+        _conv_impl_choice = env
+    elif _conv_warm_sentinel().exists():
+        _conv_impl_choice = "pallas"
+    else:
+        log(
+            "cold compile cache: the fused Pallas conv stack's first-ever "
+            "Mosaic compile costs 350-540 s — using conv_impl='conv' for "
+            "this process so the bench starts measuring in seconds.  Warm "
+            "the kernel once with OFPTPU_BENCH_CONV=pallas to restore the "
+            "fused-stack headline on subsequent runs."
+        )
+        _conv_impl_choice = "conv"
+    return _conv_impl_choice
+
+
+def mark_conv_stack_warm() -> None:
+    """Record a successful fused-conv-stack compile in the cache dir."""
+    try:
+        s = _conv_warm_sentinel()
+        s.parent.mkdir(parents=True, exist_ok=True)
+        s.touch()
+    except OSError:
+        pass
 
 
 def make_fingerprinter(n_streams: int, block_size: int,
@@ -140,25 +241,30 @@ def make_fingerprinter(n_streams: int, block_size: int,
         # the capability-proven serving head (models/cccnn.py::cc_norm)
         cc_norm=True,
         # fused whole-stack Pallas conv (ops/pallas_conv.py): measured
-        # 23.3 -> ~7 ms at the serving batch vs XLA's few-feature conv
-        conv_impl=os.environ.get("OFPTPU_BENCH_CONV", "pallas"),
+        # 23.3 -> ~7 ms at the serving batch vs XLA's few-feature conv;
+        # pick_conv_impl falls back to XLA conv on a cold compile cache
+        conv_impl=pick_conv_impl(),
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, cps, WINDOW), jnp.float32)
     )
 
+    # Sample-anchored serving windows (default): the onset sits at index
+    # PRE of every window EXACTLY — top_hit_blocks folds the detector's
+    # within-block deltas into the starts and the gather applies the 0..7
+    # residual in-kernel behind the DMA (ops/windows.py anchored contract;
+    # the reference's extractors anchor exactly, data.py:55-120).  The old
+    # block-aligned mode (onset at PRE+delta, < one block of jitter) costs
+    # ~6x accuracy unmitigated (examples/serving_window_accuracy.py);
+    # OFPTPU_BENCH_ANCHORED=0 reverts to it for comparison.
+    anchored = os.environ.get("OFPTPU_BENCH_ANCHORED", "1") == "1"
+
     @jax.jit
     def fingerprint(params, x, on, deltas):
-        # Block-aligned window starts: the onset sits at sample PRE+delta
-        # of the window (jitter < one detector block — the within-frame
-        # shift the reference's extractors train with as augmentation,
-        # data.py:55-120).  Exact-sample starts would need a per-lane row
-        # shift — a scalar gather measured ~15x slower than the entire
-        # detection pass (891 ms/s-audio).  gather uses the DMA-friendly
-        # slab formulation (ops/windows.py).
+        d = deltas if anchored else None
         if global_capacity is not None:
             st_pad, v_pad = top_hit_blocks(
-                on, block_size, n_streams, max_hits
+                on, block_size, n_streams, max_hits, d
             )
             starts, sids, valid, dropped = compact_hit_list(
                 st_pad, v_pad, global_capacity
@@ -169,14 +275,18 @@ def make_fingerprinter(n_streams: int, block_size: int,
             windows = gather_hit_windows(
                 x, starts, sids, cps, WINDOW, pre=PRE,
                 precision=jax.lax.Precision.DEFAULT,
+                anchored=anchored,
             )  # [G, cps, W]
             preds = model.apply(params, windows)
             preds = jnp.where(valid[:, None], preds, 0.0)
             return preds, jnp.sum(valid), dropped
-        starts, valid = top_hit_blocks(on, block_size, n_streams, max_hits)
+        starts, valid = top_hit_blocks(
+            on, block_size, n_streams, max_hits, d
+        )
         windows = gather_block_windows(
             x, starts, cps, WINDOW, pre=PRE,
             precision=jax.lax.Precision.DEFAULT,
+            anchored=anchored,
         )
         preds = model.apply(
             params, windows.reshape(n_streams * max_hits, cps, WINDOW)
@@ -322,6 +432,10 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     preds, n_hits, n_dropped = fingerprint(fp_params, xd, on, d)
     _ = float(jnp.sum(preds))
     t_fp_compile = time.perf_counter() - t0
+    if pick_conv_impl() == "pallas":
+        # the fused stack compiled into this cache — subsequent cold-cache
+        # guard decisions can safely pick it
+        mark_conv_stack_warm()
     if int(n_dropped) > 0:
         # the compacted budget must never truncate the workload silently
         raise HitCapacityError(
@@ -411,6 +525,32 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
         _ = float(noop(jnp.float32(0.0)))
         floor_times.append(time.perf_counter() - t0)
     floor_ms = 1e3 * float(np.median(floor_times))
+
+    # -- roofline evidence (VERDICT r3 #6: computed, machine-readable) ------
+    # detector: cycles per sample row per 32-lane-tile kernel unit, against
+    # the ~176-issue algorithmic floor of the kernel's loop structure
+    det_dev_ms = max(1e3 * float(np.median(det_times)) - floor_ms, 1e-6)
+    tile_units = c / DETECT_TILE_CHANNELS
+    detect_cycles_per_sample = (
+        det_dev_ms * 1e-3 * CLOCK_HZ / SR / max(tile_units, 1e-9)
+    )
+    detect_pct_sol = 100.0 * DETECT_ALGO_ISSUES / detect_cycles_per_sample
+    # fingerprint: MXU utilization = algorithmic model FLOPs actually
+    # dispatched (every gathered window computes, valid or padded) over the
+    # stage's device time x bf16 peak
+    fp_dev_ms = max(1e3 * float(np.median(fp_times)) - floor_ms, 1e-6)
+    windows_per_s = (
+        global_capacity if global_capacity is not None
+        else n_streams * max_hits
+    ) * chunks
+    fp_flops = windows_per_s * flagship_flops_per_window()
+    fingerprint_mxu_util = fp_flops / (fp_dev_ms * 1e-3) / PEAK_BF16_FLOPS
+    log(
+        f"roofline: detect {detect_cycles_per_sample:.0f} cyc/sample/"
+        f"32-tile-unit ({detect_pct_sol:.0f}% of the {DETECT_ALGO_ISSUES:.0f}"
+        f"-issue floor); fingerprint {fp_flops / 1e12:.2f} TFLOP/s-audio "
+        f"over {fp_dev_ms:.1f} ms -> {100 * fingerprint_mxu_util:.1f}% MXU"
+    )
     return {
         "path": path,
         "n_streams": n_streams,
@@ -429,6 +569,9 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
         "recall": recall,
         "n_spurious": n_spur,
         "n_duplicates": n_tp - n_matched,
+        "detect_cycles_per_sample": round(detect_cycles_per_sample, 1),
+        "detect_pct_sol": round(detect_pct_sol, 1),
+        "fingerprint_mxu_util": round(fingerprint_mxu_util, 4),
     }
 
 
@@ -539,6 +682,9 @@ def main() -> int:
                 "precision": round(r["precision"], 4),
                 "n_duplicates": r["n_duplicates"],
                 "correctness_ok": correctness_ok,
+                "detect_cycles_per_sample": r["detect_cycles_per_sample"],
+                "detect_pct_sol": r["detect_pct_sol"],
+                "fingerprint_mxu_util": r["fingerprint_mxu_util"],
             }
         )
     )

@@ -12,12 +12,17 @@ fused detection pass).
 
 TPU-native formulation used here:
 
-1. windows start at block-aligned rows (the onset sits ``pre + delta``
-   samples into the window, jitter < one detector block — the same
+1. window rows come from one perfectly-tiled ``[W, 128]``-lane
+   ``dynamic_slice``/DMA per hit starting at an 8-row-aligned floor
+   (DMA-friendly slab gather);
+2. SAMPLE ANCHORING (``anchored=True``, the serving default): the slab
+   reads ``W + 8`` rows and the 0..7 residual between the exact onset
+   start and its 8-floor shifts in-kernel behind the next hit's DMA — the
+   onset sits at index ``pre`` exactly, matching the reference's
+   extraction (data.py:55-120).  The legacy block-aligned mode leaves the
+   onset at ``pre + delta`` (jitter < one detector block — the same
    within-frame shift the reference's extractors inject deliberately as
    augmentation, data.py:95-99,180-186);
-2. one perfectly-tiled ``[W, 128]``-lane ``dynamic_slice`` per hit
-   (DMA-friendly slab gather);
 3. each stream keeps its own ``cps``-lane group via a one-hot mask
    reduction on the VPU — no scalar gathers anywhere.
 """
@@ -128,6 +133,57 @@ def _gather_kernel_mh(
         )
 
 
+def _gather_kernel_mh_anchored(
+    window: int, n_steps: int, h: int, precision, *refs
+):
+    """Multi-hit gather step with per-hit SAMPLE anchoring.
+
+    Same slab-DMA + lane-select scheme as :func:`_gather_kernel_mh`, but
+    each hit's window starts at an EXACT sample: the DMA reads
+    ``window + 8`` rows from the 8-row-floored start (same tile-alignment
+    proof as the block-aligned kernel), and the 0..7 residual is applied
+    after the select matmul as an 8-way masked shift — ~8·8·W VPU ops per
+    hit, hidden behind the next group's DMA (the reference's extractors
+    anchor exactly at the labelled onset, data.py:55-120)."""
+    starts_ref, res_ref, cols_ref, sel_ref, x_ref, out_ref, slab, sem = refs
+    i = pl.program_id(0)
+    w2 = window + 8
+
+    def copy(slot, hit):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(starts_ref[hit] * 8, w2),
+                     pl.ds(cols_ref[hit] * LANE, LANE)],
+            slab.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _warmup():
+        for j in range(h):
+            copy(j, j).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _prefetch():
+        for j in range(h):
+            copy(((i + 1) % 2) * h + j, (i + 1) * h + j).start()
+
+    base = (i % 2) * h
+    for j in range(h):
+        copy(base + j, i * h + j).wait()
+        tmp = jax.lax.dot_general(
+            sel_ref[0, j],
+            slab[base + j],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [8, window + 8]
+        r = res_ref[i * h + j]
+        acc = jnp.where(r == 0, tmp[:, 0:window], 0.0)
+        for u in range(1, 8):
+            acc = acc + jnp.where(r == u, tmp[:, u : u + window], 0.0)
+        out_ref[0, j] = acc
+
+
 def _gather_kernel_roll(window: int, n: int, *refs):
     """Per-hit slab DMA + dynamic lane roll (matmul-free selection).
 
@@ -212,6 +268,7 @@ def _gather_pallas(
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     n_buf: int = 8,
     hits_per_step: int = 1,
+    residuals: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """[N, 8, W] windows via the DMA gather kernel (rows cps..7 zero).
 
@@ -221,11 +278,15 @@ def _gather_pallas(
     flight (VMEM cost ``n_buf * W * 128 * 4`` bytes).  ``hits_per_step``
     > 1 switches to the grouped kernel (:func:`_gather_kernel_mh`):
     ``hits_per_step`` hits per grid step with ``2*hits_per_step`` slots,
-    amortizing the per-step fixed cost.
+    amortizing the per-step fixed cost.  ``residuals`` (int32 [N] in
+    [0, 8)) switches to the sample-anchored kernel: hit ``i``'s window
+    starts at row ``row_start[i] + residuals[i]`` exactly (``row_start``
+    must be 8-aligned; the slab reads ``window + 8`` rows).
     """
     groups = LANE // cps
     n = row_start.shape[0]
-    h = hits_per_step
+    h = hits_per_step if hits_per_step > 1 or residuals is not None else 1
+    h = max(h, 1)
     n_pad = -(-n // h) * h if h > 1 else n
     if n_pad != n:
         # pad with repeats of hit 0 (any in-range hit works; the extra
@@ -237,6 +298,10 @@ def _gather_pallas(
         stream_ids = jnp.concatenate(
             [stream_ids, jnp.broadcast_to(stream_ids[:1], (pad,))]
         )
+        if residuals is not None:
+            residuals = jnp.concatenate(
+                [residuals, jnp.broadcast_to(residuals[:1], (pad,))]
+            )
     # tile-unit indices (see copy() in the kernel): rows floored to the
     # 8-row sublane tile — callers pass block-aligned starts, which are
     # 8-aligned for every power-of-two block size ≥ 8
@@ -253,6 +318,39 @@ def _gather_pallas(
         jnp.float32(1.0),
         jnp.float32(0.0),
     )
+    if residuals is not None:
+        n_steps = n_pad // h
+        w2 = window + 8
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h, _SUB, LANE), lambda i, *_: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h, _SUB, window), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * h, w2, LANE), x.dtype),
+                pltpu.SemaphoreType.DMA((2 * h,)),
+            ],
+        )
+        out = pl.pallas_call(
+            partial(_gather_kernel_mh_anchored, window, n_steps, h,
+                    precision),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_steps, h, _SUB, window), jnp.float32
+            ),
+            interpret=interpret,
+        )(rows8, residuals.astype(jnp.int32),
+          cols, sel.reshape(n_steps, h, _SUB, LANE), x)
+        return out.reshape(n_pad, _SUB, window)[:n]
     if h > 1:
         n_steps = n_pad // h
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -310,7 +408,7 @@ def _gather_pallas(
     )(rows8, cols, sel, x)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def gather_block_windows(
     x: jnp.ndarray,
     block_starts: jnp.ndarray,
@@ -321,6 +419,7 @@ def gather_block_windows(
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     hits_per_step: int = 8,
+    anchored: bool = False,
 ) -> jnp.ndarray:
     """Extract per-stream onset windows at block-aligned starts.
 
@@ -339,16 +438,27 @@ def gather_block_windows(
     :param hits_per_step: hits per kernel grid step (amortizes the
         per-step fixed cost — measured 15.3 → 9.6 ms at 32k hits going
         1 → 8; values are identical)
+    :param anchored: sample-anchored windows (no 8-sample flooring) — see
+        :func:`gather_hit_windows`.
     :returns: ``[S, K, cps, W]`` float32 windows.  Row starts are floored
         to 8-sample (sublane) alignment: ``windows[s, k, c, w] ==
         x[((starts[s, k] - pre) // 8) * 8 + w, s*cps + c]`` — block-aligned
         ``starts`` with 8-aligned ``pre`` (the serving path) are read
-        exactly; other callers see up to 7 samples of extra lead-in.
+        exactly; other callers see up to 7 samples of extra lead-in.  With
+        ``anchored=True`` the read is exact: ``x[starts[s, k] - pre + w]``
+        (clipped to ``[0, T - window - 8]``).
     """
     t, c = x.shape
     cps = channels_per_stream
     n_streams = c // cps
     k = block_starts.shape[1]
+    stream_ids = jnp.repeat(jnp.arange(n_streams, dtype=jnp.int32), k)
+    if anchored:
+        out = gather_hit_windows(
+            x, block_starts.reshape(-1), stream_ids, cps, window, pre,
+            backend, interpret, precision, hits_per_step, True,
+        )
+        return out.reshape(n_streams, k, cps, window)
     # starts floored to the 8-row sublane tile (uniform across backends;
     # lets the DMA kernel prove HBM-slice alignment).  Block-aligned starts
     # with 8-aligned pre are unaffected.
@@ -369,7 +479,6 @@ def gather_block_windows(
             "lane multiple or pass backend='xla'/'auto'"
         )
     if backend == "pallas":
-        stream_ids = jnp.repeat(jnp.arange(n_streams, dtype=jnp.int32), k)
         out = _gather_pallas(
             x, row_start, stream_ids, cps, window, interpret, precision,
             hits_per_step=hits_per_step,
@@ -377,7 +486,6 @@ def gather_block_windows(
         return out[:, :cps].reshape(n_streams, k, cps, window)
     if wide:
         groups = LANE // cps
-        stream_ids = jnp.repeat(jnp.arange(n_streams, dtype=jnp.int32), k)
         col_base = (stream_ids // groups) * LANE
 
         def cut(st, cb):
@@ -416,20 +524,32 @@ def gather_block_windows(
 
 @partial(jax.jit, static_argnums=(2, 3))
 def top_hit_blocks(
-    on: jnp.ndarray, block_size: int, n_streams: int, capacity: int
+    on: jnp.ndarray,
+    block_size: int,
+    n_streams: int,
+    capacity: int,
+    deltas: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-capacity per-stream hit list from dense detector events.
 
     :param on: ``[nb, S*cps]`` bool per-block fire flags
     :param block_size: detector block size
-    :returns: ``(starts [S, K] int32 block-start samples, valid [S, K]
+    :param deltas: optional ``[nb, S*cps]`` int32 within-block onset
+        offsets (the detector's second output).  When given, returned
+        starts are SAMPLE-ANCHORED onsets ``block*block_size + delta`` —
+        per hit block, the EARLIEST firing channel's onset (the arrival
+        that seeds the hit) — for :func:`gather_hit_windows`'s
+        ``anchored=True`` exact extraction (reference anchoring:
+        data.py:55-120).  Without it, starts are block-aligned.
+    :returns: ``(starts [S, K] int32 start samples, valid [S, K]
         bool)`` — the first ``capacity`` hit blocks per stream, in time
         order, selected by hit-count prefix sum (slot ``j`` holds the
         unique block whose running hit count equals ``j+1``).
     """
     nb = on.shape[0]
     cps = on.shape[1] // n_streams
-    hit = jnp.any(on.reshape(nb, n_streams, cps), axis=-1)  # [nb, S]
+    onc = on.reshape(nb, n_streams, cps)
+    hit = jnp.any(onc, axis=-1)  # [nb, S]
     # sort-free: the j-th hit block of a stream is the unique row where the
     # hit-count prefix sum equals j+1 (lax.top_k lowers to a full sort on
     # TPU — measured 33 ms at [2048, 750]).  Exactly one row matches each
@@ -442,7 +562,18 @@ def top_hit_blocks(
     idx = jnp.arange(nb, dtype=jnp.int32)[:, None, None]
     blk = jnp.sum(m * idx, axis=0, dtype=jnp.int32)  # [S, K]
     valid = jnp.any(m, axis=0)
-    return (blk * block_size).astype(jnp.int32), valid
+    starts = blk * block_size
+    if deltas is not None:
+        # earliest firing channel's within-block offset, selected by the
+        # same one-matching-row masked reduction
+        dmin = jnp.min(
+            jnp.where(onc, deltas.reshape(nb, n_streams, cps),
+                      jnp.int32(2**30)),
+            axis=-1,
+        )  # [nb, S]
+        dsel = jnp.sum(m * dmin[:, :, None], axis=0, dtype=jnp.int32)
+        starts = starts + jnp.where(valid, dsel, 0)
+    return starts.astype(jnp.int32), valid
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -537,7 +668,7 @@ def compact_hit_list(
     return out + (idx.astype(jnp.int32),) if return_indices else out
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def gather_hit_windows(
     x: jnp.ndarray,
     starts: jnp.ndarray,
@@ -549,6 +680,7 @@ def gather_hit_windows(
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     hits_per_step: int = 8,
+    anchored: bool = False,
 ) -> jnp.ndarray:
     """Extract windows for a FLAT per-hit ``(stream, start)`` list.
 
@@ -561,17 +693,31 @@ def gather_hit_windows(
     data.py:55-120 — never a padded per-stream capacity).
 
     :param x: ``[T, S*cps]`` audio, channel-interleaved (stream-major)
-    :param starts: ``[N]`` int32 start samples (block-aligned)
+    :param starts: ``[N]`` int32 start samples (block-aligned, or exact
+        onset samples with ``anchored=True``)
     :param stream_ids: ``[N]`` int32 stream of each hit
     :param precision: MXU precision of the lane-selection matmul (see
         :func:`gather_block_windows`)
     :param hits_per_step: hits per kernel grid step (see
         :func:`gather_block_windows`)
+    :param anchored: sample-anchored windows — ``windows[i, c, w] ==
+        x[starts[i] - pre + w, ...]`` EXACTLY (no 8-sample flooring): the
+        DMA still reads from the 8-floored row (``window + 8`` rows) and
+        the 0..7 residual shifts in-kernel behind the next hit's DMA.
+        Anchors are clipped to ``[0, T - window - 8]``.  This removes the
+        sub-block serving jitter of block-aligned starts (the reference
+        anchors exactly at the labelled onset, data.py:55-120).
     :returns: ``[N, cps, W]`` float32 windows.
     """
     t, c = x.shape
     cps = channels_per_stream
-    row_start = jnp.clip(starts - pre, 0, t - window) // 8 * 8
+    if anchored:
+        exact = jnp.clip(starts - pre, 0, t - window - 8)
+        row_start = exact // 8 * 8
+        res = (exact - row_start).astype(jnp.int32)
+    else:
+        row_start = jnp.clip(starts - pre, 0, t - window) // 8 * 8
+        res = None
     wide = c % LANE == 0 and LANE % cps == 0
     if backend == "auto":
         backend = (
@@ -586,26 +732,33 @@ def gather_hit_windows(
     if backend == "pallas":
         out = _gather_pallas(
             x, row_start, stream_ids, cps, window, interpret, precision,
-            hits_per_step=hits_per_step,
+            hits_per_step=hits_per_step, residuals=res,
         )
         return out[:, :cps]
     if wide:
         groups = LANE // cps
         col_base = ((stream_ids // groups) * LANE).astype(jnp.int32)
+        w2 = window + 8 if anchored else window
 
         def cut(st, cb):
-            return jax.lax.dynamic_slice(x, (st, cb), (window, LANE))
+            return jax.lax.dynamic_slice(x, (st, cb), (w2, LANE))
 
-        slab = jax.vmap(cut)(row_start, col_base)  # [N, W, 128]
-        slab = slab.reshape(-1, window, groups, cps)
+        slab = jax.vmap(cut)(row_start, col_base)  # [N, w2, 128]
+        slab = slab.reshape(-1, w2, groups, cps)
         mask = jax.nn.one_hot(
             stream_ids % groups, groups, dtype=slab.dtype
         )  # [N, groups]
         # same precision contract as the pallas path (bit-exact at HIGHEST)
         windows = jnp.einsum("nwgc,ng->nwc", slab, mask,
                              precision=precision)
+        if anchored:
+            windows = jax.vmap(
+                lambda s, r: jax.lax.dynamic_slice(s, (r, 0), (window, cps))
+            )(windows, res)
         return windows.transpose(0, 2, 1)
     # narrow fallback: direct row/col gather (host/CPU paths)
+    if anchored:
+        row_start = row_start + res
     rows = row_start[:, None] + jnp.arange(window, dtype=jnp.int32)
     cols = stream_ids[:, None] * cps + jnp.arange(cps, dtype=jnp.int32)
     windows = x[rows[:, :, None], cols[:, None, :]]  # [N, W, cps]

@@ -322,3 +322,126 @@ def test_multi_hit_gather_padding():
             )
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def _reference_windows_anchored(x, starts, stream_ids, cps, window, pre):
+    t, c = x.shape
+    out = np.zeros((len(starts), cps, window), np.float32)
+    for i, (st, sid) in enumerate(zip(starts, stream_ids)):
+        e = min(max(st - pre, 0), t - window - 8)
+        out[i] = x[e : e + window, sid * cps : (sid + 1) * cps].T
+    return out
+
+
+def test_anchored_gather_exact_across_backends():
+    """anchored=True extracts windows at EXACT sample starts (no 8-sample
+    flooring) on every backend: pallas interpret, XLA wide slab, and the
+    narrow fallback all equal the direct numpy slice, for every residual
+    0..7 (the reference anchors exactly at the labelled onset,
+    data.py:55-120)."""
+    rng = np.random.default_rng(7)
+    t, s, cps, w = 2048, 32, 4, 256
+    x = rng.normal(size=(t, s * cps)).astype(np.float32)
+    # one start per residual class, plus random ones and edge cases
+    starts = np.array(
+        [512 + r for r in range(8)]
+        + list(rng.integers(0, t, 20))
+        + [0, 3, t - 1, t - w],
+        np.int32,
+    )
+    sids = rng.integers(0, s, len(starts)).astype(np.int32)
+    want = _reference_windows_anchored(x, starts, sids, cps, w, pre=64)
+    for backend, interp in (("pallas", True), ("xla", False)):
+        got = np.asarray(
+            gather_hit_windows(
+                jnp.asarray(x), jnp.asarray(starts), jnp.asarray(sids),
+                cps, w, 64, backend, interp, anchored=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=backend)
+    # narrow layout (C not a lane multiple) exercises the fallback
+    xn = x[:, : 3 * cps]
+    sids_n = np.minimum(sids, 2)
+    want_n = _reference_windows_anchored(xn, starts, sids_n, cps, w, 64)
+    got_n = np.asarray(
+        gather_hit_windows(
+            jnp.asarray(xn), jnp.asarray(starts), jnp.asarray(sids_n),
+            cps, w, 64, anchored=True,
+        )
+    )
+    np.testing.assert_array_equal(got_n, want_n)
+
+
+def test_anchored_block_windows_match_flat():
+    """gather_block_windows(anchored=True) == per-hit anchored gather."""
+    rng = np.random.default_rng(8)
+    t, s, cps, w, k = 2048, 32, 4, 128, 3
+    x = rng.normal(size=(t, s * cps)).astype(np.float32)
+    starts = rng.integers(0, t, (s, k)).astype(np.int32)
+    sids = np.repeat(np.arange(s, dtype=np.int32), k)
+    want = _reference_windows_anchored(
+        x, starts.reshape(-1), sids, cps, w, pre=32
+    ).reshape(s, k, cps, w)
+    got = np.asarray(
+        gather_block_windows(
+            jnp.asarray(x), jnp.asarray(starts), cps, w, 32,
+            anchored=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_anchored_removes_block_jitter():
+    """The block-aligned gather's onset position jitters by the within-
+    block delta; the anchored gather pins the onset to index ``pre``
+    EXACTLY.  A marker sample placed at the onset must appear at
+    windows[:, :, pre] for every delta."""
+    t, s, cps, w, pre, bsz = 4096, 32, 4, 256, 64, 128
+    x = np.zeros((t, s * cps), np.float32)
+    onsets = np.array([1024 + 17 * i for i in range(s)], np.int32)
+    for sid, onset in enumerate(onsets):
+        x[onset, sid * cps : (sid + 1) * cps] = 1.0
+    sids = np.arange(s, dtype=np.int32)
+    anchored = np.asarray(
+        gather_hit_windows(
+            jnp.asarray(x), jnp.asarray(onsets), jnp.asarray(sids),
+            cps, w, pre, anchored=True,
+        )
+    )
+    assert (anchored[:, :, pre] == 1.0).all()
+    # block-aligned: the marker lands at pre + (onset % bsz) instead
+    block_starts = onsets // bsz * bsz
+    aligned = np.asarray(
+        gather_hit_windows(
+            jnp.asarray(x), jnp.asarray(block_starts), jnp.asarray(sids),
+            cps, w, pre,
+        )
+    )
+    for i, onset in enumerate(onsets):
+        assert aligned[i, 0, pre + onset % bsz] == 1.0
+
+
+def test_top_hit_blocks_anchored_starts():
+    """With the detector's deltas, top_hit_blocks returns exact onset
+    samples: block*bsz + the earliest firing channel's offset."""
+    nb, s, cps, k, bsz = 40, 3, 2, 4, 128
+    on = np.zeros((nb, s * cps), bool)
+    deltas = np.zeros((nb, s * cps), np.int32)
+    on[3, 0] = True
+    deltas[3, 0] = 17
+    # both channels fire: the EARLIEST offset anchors
+    on[10, 0] = on[10, 1] = True
+    deltas[10, 0], deltas[10, 1] = 90, 41
+    on[5, 4] = True
+    deltas[5, 4] = 127
+    starts, valid = top_hit_blocks(
+        jnp.asarray(on), bsz, s, k, jnp.asarray(deltas)
+    )
+    starts, valid = np.asarray(starts), np.asarray(valid)
+    assert starts[0, 0] == 3 * bsz + 17
+    assert starts[0, 1] == 10 * bsz + 41
+    assert starts[2, 0] == 5 * bsz + 127
+    # block-aligned behavior unchanged without deltas
+    st0, v0 = top_hit_blocks(jnp.asarray(on), bsz, s, k)
+    assert np.asarray(st0)[0, 0] == 3 * bsz
+    np.testing.assert_array_equal(np.asarray(v0), valid)
