@@ -118,6 +118,30 @@ class _LagMapsMixin:
             legal &= (lm2 < lag2 + tolerance) & (lm2 > lag2 - tolerance)
         return tuple(np.unravel_index(np.argmax(legal > 0), legal.shape, "F"))
 
+    def _feasible_cell(self, group):
+        """Joint feasibility through the ``feasibility_tols`` cascade:
+        the first tolerance tier with a feasible cell wins; ``(0, 0)``
+        when every tier is empty.
+
+        The reference checks ONE tier at 1 cm (multilateration.py:413-426,
+        tolerance=1) and silently drops the completed group when no grid
+        cell satisfies both lag bands jointly — but each band is ~1 cell
+        wide, and for hits close to a sensor the two bands become nearly
+        concentric circles around it, so at cm quantization they can cross
+        without SHARING a cell (grid aliasing; the reference's own
+        ``TODO: INVESTIGATE THIS`` sits on this path, :508).  Measured on
+        a random-hit stream this drops ~1% of genuine strikes.  A second
+        2 cm tier recovers them: trilateration refines from the coarser
+        cell just as well (Newton converges from anywhere on the head).
+        Default ``(1.0,)`` preserves exact reference emission parity.
+        """
+        res = (0, 0)
+        for t in getattr(self, "feasibility_tols", (1.0,)):
+            res = self.is_legal_3d(group, tolerance=t)
+            if res != (0, 0):
+                break
+        return res
+
 
 class Multilaterate3D(_LagMapsMixin):
     """Streaming 3D-sensor locator (multilateration.py:319-575).
@@ -136,9 +160,13 @@ class Multilaterate3D(_LagMapsMixin):
         c: Optional[float] = None,
         model=None,
         model_input: str = "arrival",
+        feasibility_tols: tuple = (1.0,),
     ):
         self.c = speed_of_sound(100, medium=medium) if c is None else c * 100
         self.model = model
+        #: completion-feasibility tolerance cascade in cm (see
+        #: :meth:`_LagMapsMixin._feasible_cell`); (1.0,) = reference parity
+        self.feasibility_tols = tuple(feasibility_tols)
         if model_input not in ("arrival", "by_channel"):
             raise ValueError(f"unknown model_input {model_input!r}")
         if model_input == "by_channel" and len(sensor_locations) != 3:
@@ -189,7 +217,7 @@ class Multilaterate3D(_LagMapsMixin):
                     if len(group[0]) == 3:
                         if group[0][0] == group[0][1]:
                             break
-                        res = self.is_legal_3d(group)
+                        res = self._feasible_cell(group)
                         if res != (0, 0):
                             guess = np.array(res) - self.radius
                             res = self.trilaterate(group, initial_guess=guess)
@@ -280,6 +308,7 @@ class Multilaterate(_LagMapsMixin):
         drum_diameter: float = DIAMETER,
         medium: str = "drumhead",
         sr: int = 44100,
+        feasibility_tols: tuple = (1.0,),
     ):
         self.radius = drum_diameter / 2
         self.sensor_locs = [
@@ -291,6 +320,7 @@ class Multilaterate(_LagMapsMixin):
         self.medium = medium
         self.sr = sr
         self.samples_per_cm = sr / speed_of_sound(100, medium=medium)
+        self.feasibility_tols = tuple(feasibility_tols)
         self._build_maps(lag_map_2d, drum_diameter, sr)
         self.ongoing: list = []
 
@@ -305,7 +335,7 @@ class Multilaterate(_LagMapsMixin):
                         group[1] + [onset_index],
                     )
                     if len(group[0]) == 3:
-                        res = self.is_legal_3d(group)
+                        res = self._feasible_cell(group)
                         if res != (0, 0):
                             res = self.trilaterate(
                                 group, np.array(res) - self.radius
@@ -571,7 +601,13 @@ def make_locate_update(
     maps, min_l, max_l, mml, xyz = build_locator_tables(m)
     radius = float(m.radius)
     samples_per_cm = float(m.samples_per_cm)
-    tol = samples_per_cm * 1.0
+    # completion-feasibility tolerance cascade (cm tiers, inherited from
+    # the host locator — see _LagMapsMixin._feasible_cell): the first tier
+    # with a feasible cell wins; (1.0,) is exact reference parity
+    feas_tols = tuple(
+        samples_per_cm * float(t)
+        for t in getattr(m, "feasibility_tols", (1.0,))
+    )
     c_over_sr = float(m.c / m.sr)
     h, w = maps.shape[2:]
     window_len = int(
@@ -702,25 +738,37 @@ def make_locate_update(
         lag2_all = (onset - state.onsets[:, 0]).astype(jnp.float32)
         lm1_all = maps[seed_safe, s1_all]  # [G, h, w]
         lm2_all = maps[seed_safe, sensor]  # [G, h, w]
-        legal_all = (
-            (lm1_all < lag1_all[:, None, None] + tol)
-            & (lm1_all > lag1_all[:, None, None] - tol)
-            & (lm2_all < lag2_all[:, None, None] + tol)
-            & (lm2_all > lag2_all[:, None, None] - tol)
-        )
         # The reference's C-order argmax + F-order unravel on a square grid
         # (multilateration.py:425) effectively yields (col, row) = (x+r, y+r)
         # for map cell [row, col] (meshgrid 'xy': x = col - r, y = row - r).
-        flat_all = legal_all.transpose(0, 2, 1).reshape(
-            legal_all.shape[0], -1
-        )  # column-major per group
-        idx_all = jnp.argmax(flat_all, axis=1)
-        cell_all = jnp.stack(
-            [idx_all // h, idx_all % h], axis=1
-        ).astype(jnp.float32)  # [G, 2] (col, row)
-        grid_ok_all = jnp.any(flat_all, axis=1) & jnp.any(
-            cell_all != 0, axis=1
-        )
+        # One mask per tolerance tier; per group the FIRST feasible tier's
+        # argmax cell wins (tiers nest, so a tier-1 hit is also a tier-2
+        # hit — argmax over ok_t picks the tightest).
+        cells, oks = [], []
+        for tol in feas_tols:
+            legal_t = (
+                (lm1_all < lag1_all[:, None, None] + tol)
+                & (lm1_all > lag1_all[:, None, None] - tol)
+                & (lm2_all < lag2_all[:, None, None] + tol)
+                & (lm2_all > lag2_all[:, None, None] - tol)
+            )
+            flat_t = legal_t.transpose(0, 2, 1).reshape(
+                legal_t.shape[0], -1
+            )  # column-major per group
+            idx_t = jnp.argmax(flat_t, axis=1)
+            cell_t = jnp.stack(
+                [idx_t // h, idx_t % h], axis=1
+            ).astype(jnp.float32)  # [G, 2] (col, row)
+            cells.append(cell_t)
+            oks.append(
+                jnp.any(flat_t, axis=1) & jnp.any(cell_t != 0, axis=1)
+            )
+        ok_t = jnp.stack(oks)  # [T, G]
+        tier = jnp.argmax(ok_t, axis=0)  # first feasible tier per group
+        grid_ok_all = jnp.any(ok_t, axis=0)
+        cell_all = jnp.take_along_axis(
+            jnp.stack(cells), tier[None, :, None], axis=0
+        )[0]  # [G, 2]
         feasible = completes & grid_ok_all
         returned = jnp.any(feasible)
         # oldest feasible completer (insertion order = ascending age)
@@ -764,7 +812,10 @@ def make_locate_update(
             point = pred * 100.0
             solved = jnp.all(jnp.isfinite(point))
         else:
-            point, solved = solve_tdoa(triple, deltas, guess)
+            # unrolled masked Newton: the update runs inside per-block
+            # serve programs where lax.while_loop's per-iteration thunk
+            # overhead dominates (identical results — see solve_tdoa)
+            point, solved = solve_tdoa(triple, deltas, guess, unroll=True)
         emit = returned & solved
 
         # --- state update.  Joins apply to completing groups too: an

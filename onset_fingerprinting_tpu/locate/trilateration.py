@@ -54,37 +54,59 @@ def _solve_2x2(jac, f):
     return step, jnp.abs(det) >= 1e-12
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "unroll"))
 def solve_tdoa(
     sensors: jnp.ndarray,
     deltas: jnp.ndarray,
     initial_guess: jnp.ndarray,
     xtol: float = 0.01,
     max_iter: int = 20,
+    unroll: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Solve for the (x, y) strike point. Returns ``(point [2], success)``.
 
     ``sensors`` is ``[3, 3]`` (origin, a, b) — pass z=0 rows for the 2D case.
+
+    ``unroll=True`` runs ``max_iter`` straight-line masked iterations
+    instead of a ``lax.while_loop`` — identical results (once converged the
+    masks freeze the carry, and the live path computes the same float ops),
+    but compiles to fully-fused code with no per-iteration loop thunks.
+    Use it in launch-overhead-bound programs (the per-block serve step);
+    the while form does less arithmetic for offline batch solving.
     """
     sensors = sensors.astype(jnp.float32)
     deltas = deltas.astype(jnp.float32)
     p0 = initial_guess.astype(jnp.float32)
 
-    def cond(carry):
-        p, i, done, ok = carry
-        return (~done) & (i < max_iter)
+    if unroll:
+        p = p0
+        done = jnp.bool_(False)
+        ok = jnp.bool_(True)
+        for _ in range(max_iter):
+            f, jac = _residual_jac_3d(p, sensors, deltas)
+            step, solvable = _solve_2x2(jac, f)
+            converged = jnp.max(jnp.abs(step)) < xtol
+            live = ~done
+            p = jnp.where(live, p - step, p)
+            ok = jnp.where(live, ok & solvable, ok)
+            done = done | (live & (converged | ~solvable))
+    else:
 
-    def body(carry):
-        p, i, done, ok = carry
-        f, jac = _residual_jac_3d(p, sensors, deltas)
-        step, solvable = _solve_2x2(jac, f)
-        p_new = p - step
-        converged = jnp.max(jnp.abs(step)) < xtol
-        return p_new, i + 1, converged | ~solvable, ok & solvable
+        def cond(carry):
+            p, i, done, ok = carry
+            return (~done) & (i < max_iter)
 
-    p, n_it, done, ok = jax.lax.while_loop(
-        cond, body, (p0, jnp.int32(0), jnp.bool_(False), jnp.bool_(True))
-    )
+        def body(carry):
+            p, i, done, ok = carry
+            f, jac = _residual_jac_3d(p, sensors, deltas)
+            step, solvable = _solve_2x2(jac, f)
+            p_new = p - step
+            converged = jnp.max(jnp.abs(step)) < xtol
+            return p_new, i + 1, converged | ~solvable, ok & solvable
+
+        p, n_it, done, ok = jax.lax.while_loop(
+            cond, body, (p0, jnp.int32(0), jnp.bool_(False), jnp.bool_(True))
+        )
     f, _ = _residual_jac_3d(p, sensors, deltas)
     success = (
         ok

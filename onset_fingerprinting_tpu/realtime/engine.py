@@ -51,16 +51,24 @@ from onset_fingerprinting_tpu.realtime.actions import Actions, Location
 
 
 @jax.jit
-def _pack_events(ev_count, ev_points, ev_onsets):
-    """Flatten (count, points, onsets) into one f32 vector so harvest costs
-    a single device→host transfer."""
+def _pack_events(ev_count, ev_points, ev_onsets, ev_emits):
+    """Flatten (count, points, onsets, emit indices) into one int32 vector
+    so harvest costs a single device→host transfer.
+
+    The vector is INT-typed with the f32 points bitcast into it — not the
+    other way around: small int32 values bitcast to f32 are denormals, and
+    TPU float datapaths flush denormals to zero (observed: counts/onsets
+    read back as 0 through the packed transfer while the normal-valued
+    points survived).  Integer lanes carry all 32 bit patterns faithfully.
+    """
     return jnp.concatenate(
         [
             # bit-preserving: a plain f32 cast loses integer exactness past
             # 2^24 cumulative hits (and int32 onsets past ~175 s at 96 kHz)
-            jax.lax.bitcast_convert_type(ev_count[None], jnp.float32),
-            ev_points.reshape(-1),
-            jax.lax.bitcast_convert_type(ev_onsets, jnp.float32),
+            ev_count[None],
+            jax.lax.bitcast_convert_type(ev_points.reshape(-1), jnp.int32),
+            ev_onsets,
+            ev_emits,
         ]
     )
 
@@ -75,6 +83,12 @@ class EngineState(NamedTuple):
     # (host readbacks dominate latency on remote/tunneled TPUs)
     ev_points: jnp.ndarray     # [E, 2] float32 ring of located hits
     ev_onsets: jnp.ndarray     # [E] int32 absolute onset sample of each hit
+    # block-start sample of the block whose processing EMITTED the hit (the
+    # completing arrival's block) — the per-hit latency anchor: latency is
+    # measured from that block's audio entering the pipeline, the same span
+    # the reference's synchronous callback bounds by one 1.333 ms block
+    # (audio.py:81-120, config.py:33-36)
+    ev_emits: jnp.ndarray      # [E] int32 emitting block's start sample
     ev_count: jnp.ndarray      # scalar int32 cumulative hit counter
 
 
@@ -197,6 +211,7 @@ def make_engine_step(
         sample_count=jnp.zeros((), jnp.int32),
         ev_points=jnp.zeros((event_queue, 2), jnp.float32),
         ev_onsets=jnp.zeros((event_queue,), jnp.int32),
+        ev_emits=jnp.zeros((event_queue,), jnp.int32),
         ev_count=jnp.zeros((), jnp.int32),
     )
 
@@ -245,15 +260,19 @@ def make_engine_step(
             emits = emits.at[ch].set(valid & emit)
             return lstate, points, emits
 
-        lstate, points, emits = jax.lax.fori_loop(
-            0, c, body, (state.locator, points0, emits0)
-        )
+        # statically unrolled over the (small, static) channel count: a
+        # lax.fori_loop here is a dynamic device loop whose per-iteration
+        # thunk overhead dominates this launch-bound per-block program
+        carry = (state.locator, points0, emits0)
+        for i in range(c):
+            carry = body(i, carry)
+        lstate, points, emits = carry
 
         # append completed hits to the device-side event queue
         eq = state.ev_points.shape[0]
 
         def push(i, carry):
-            ev_points, ev_onsets, ev_count = carry
+            ev_points, ev_onsets, ev_emits, ev_count = carry
             slot = jnp.mod(ev_count, eq)
             hit = emits[i]
             ev_points = jnp.where(
@@ -262,12 +281,18 @@ def make_engine_step(
             ev_onsets = jnp.where(
                 hit, ev_onsets.at[slot].set(onsets_abs[i]), ev_onsets
             )
+            ev_emits = jnp.where(
+                hit, ev_emits.at[slot].set(state.sample_count), ev_emits
+            )
             ev_count = ev_count + hit.astype(jnp.int32)
-            return ev_points, ev_onsets, ev_count
+            return ev_points, ev_onsets, ev_emits, ev_count
 
-        ev_points, ev_onsets, ev_count = jax.lax.fori_loop(
-            0, c, push, (state.ev_points, state.ev_onsets, state.ev_count)
-        )
+        # unrolled for the same launch-overhead reason as the locate loop
+        carry = (state.ev_points, state.ev_onsets, state.ev_emits,
+                 state.ev_count)
+        for i in range(c):
+            carry = push(i, carry)
+        ev_points, ev_onsets, ev_emits, ev_count = carry
 
         new_state = EngineState(
             detector=dstate,
@@ -276,6 +301,7 @@ def make_engine_step(
             sample_count=state.sample_count + block.shape[0],
             ev_points=ev_points,
             ev_onsets=ev_onsets,
+            ev_emits=ev_emits,
             ev_count=ev_count,
         )
         return new_state, BlockEvents(on, onsets_abs, points, emits)
@@ -328,6 +354,17 @@ class RealtimeEngine:
         self._harvested = 0  # events already drained from the device queue
         #: events overwritten in the device queue before a harvest saw them
         self.harvest_drops = 0
+        # per-block enqueue stamps for the onset→host latency histogram:
+        # slot (block_start // block_size) % N holds (block_start, monotonic
+        # enqueue time); written on the audio thread (process_pipelined),
+        # read at harvest.  N = ~11 s of blocks at 96 kHz/128.
+        self._stamp_n = 8192
+        self._stamp_t = np.zeros(self._stamp_n, np.float64)
+        self._stamp_idx = np.full(self._stamp_n, -1, np.int64)
+        self._enq_index = 0
+        #: per-hit onset→host latencies (ms), appended at harvest for every
+        #: event whose emitting block has an enqueue stamp
+        self.hit_latencies_ms: list[float] = []
         #: analysis side-channel (attach_analysis); None until attached
         self.analysis = None
         self.recording_active = False
@@ -515,7 +552,7 @@ class RealtimeEngine:
         """Hard per-block realtime budget (reference config.py:33-36)."""
         return self.cfg.block_size / self.cfg.sr * 1e3
 
-    def start_pipeline(self, depth: int = 16) -> None:
+    def start_pipeline(self, depth: int = 16, batch_blocks: int = 1) -> None:
         """Start the dispatcher thread for :meth:`process_pipelined`.
 
         The audio thread then only copies the block into a bounded queue
@@ -524,6 +561,16 @@ class RealtimeEngine:
         would otherwise surface as audio deadline misses.  Device work must
         still sustain one block per budget ON AVERAGE — watch the
         ``engine.dispatch`` latency and ``engine.pipeline.drops`` metrics.
+
+        ``batch_blocks > 1`` micro-batches dispatch: the dispatcher
+        collects that many blocks and runs them as ONE scanned device
+        program (identical state trajectory — the scan chains the same
+        per-block step).  Use on high-RTT transports where the
+        per-dispatch cost exceeds the block budget (a tunneled dev chip
+        sustains ~3 ms per single-block dispatch vs the 1.33 ms budget;
+        batching 4 amortizes it to <1 ms/block at <=4 blocks of added
+        buffering).  Locally-attached chips should keep 1 — batching only
+        adds latency there.
         """
         import queue as _queue
         import threading
@@ -548,12 +595,50 @@ class RealtimeEngine:
         self._pipe_q = q = _queue.Queue(maxsize=depth)
         self.pipeline_drops = 0
         self._drops_lock = threading.Lock()
+        # sync the enqueue-side sample counter with the engine's processed
+        # counter (blocks run before the pipeline, e.g. compile warmup,
+        # advanced it) so enqueue stamps key on the same block-start values
+        # the device's ev_emits records
+        self._enq_index = self.current_index
+        if batch_blocks > 1:
+            step_fn, params = self._step, self.params
+
+            @jax.jit
+            def step_multi(state, blocks):  # [n, B, C]
+                def f(st, b):
+                    st, _ = step_fn(st, b, params)
+                    return st, None
+
+                st, _ = jax.lax.scan(f, state, blocks)
+                return st
+
+            self._step_multi = step_multi
+
+        def process_batch(buf):
+            blocks = np.stack(buf)
+            if self.host_ring is not None:
+                self.host_ring.write(blocks.reshape(-1, blocks.shape[-1]))
+            t0 = time.perf_counter()
+            self.state = self._step_multi(
+                self.state, jnp.asarray(blocks, jnp.float32)
+            )
+            if self.metrics is not None:
+                self.metrics.observe(
+                    "engine.dispatch", (time.perf_counter() - t0) * 1e3
+                )
+            self.current_index += blocks.shape[0] * blocks.shape[1]
 
         def loop():
+            buf = []
             # bind the queue: self._pipe_q may be swapped by stop/start
             while True:
                 item = q.get()
                 if item is None:
+                    # flush partial micro-batch through the single-block
+                    # path before exiting (same state trajectory)
+                    for b in buf:
+                        self.process_nosync(b)
+                    buf = []
                     # blocks enqueued BEHIND the stop sentinel (a caller
                     # racing stop_pipeline, or feeding a queue whose
                     # dispatcher was wedged at stop time) will never be
@@ -577,6 +662,12 @@ class RealtimeEngine:
                                 "engine.pipeline.drops", float(leftover)
                             )
                     return
+                if batch_blocks > 1:
+                    buf.append(item)
+                    if len(buf) >= batch_blocks:
+                        process_batch(buf)
+                        buf = []
+                    continue
                 t0 = time.perf_counter()
                 self.process_nosync(item)
                 if self.metrics is not None:
@@ -595,6 +686,11 @@ class RealtimeEngine:
         import queue as _queue
 
         t0 = time.perf_counter()
+        # stamp the block's arrival for the onset→host latency histogram
+        slot = (self._enq_index // self.cfg.block_size) % self._stamp_n
+        self._stamp_t[slot] = time.monotonic()
+        self._stamp_idx[slot] = self._enq_index
+        self._enq_index += len(block)
         try:
             self._pipe_q.put_nowait(np.array(block, np.float32, copy=True))
         except _queue.Full:
@@ -651,9 +747,11 @@ class RealtimeEngine:
         """
         st = self.state  # snapshot: the dispatcher thread may swap self.state
         packed = np.asarray(
-            _pack_events(st.ev_count, st.ev_points, st.ev_onsets)
+            _pack_events(st.ev_count, st.ev_points, st.ev_onsets,
+                         st.ev_emits)
         )
-        count = int(packed[:1].view(np.int32)[0])
+        t_host = time.monotonic()  # events are on host as of now
+        count = int(packed[0])
         new = count - self._harvested
         if new <= 0:
             return []
@@ -672,8 +770,9 @@ class RealtimeEngine:
             )
             self._harvested = count - eq
             new = eq
-        points = packed[1 : 1 + 2 * eq].reshape(eq, 2)
-        onsets = packed[1 + 2 * eq :].view(np.int32)
+        points = packed[1 : 1 + 2 * eq].view(np.float32).reshape(eq, 2)
+        onsets = packed[1 + 2 * eq : 1 + 3 * eq]
+        emit_idx = packed[1 + 3 * eq :]
         out = []
         for k in range(self._harvested, count):
             slot = k % eq
@@ -683,10 +782,63 @@ class RealtimeEngine:
                 radius=self.locator.radius,
             )
             out.append((int(onsets[slot]), loc))
+            # onset→host latency: from the EMITTING block's enqueue stamp
+            # (ev_emits — the completing arrival's block, the span the
+            # reference bounds by one block in its synchronous callback)
+            sslot = (int(emit_idx[slot]) // self.cfg.block_size) \
+                % self._stamp_n
+            if self._stamp_idx[sslot] == int(emit_idx[slot]):
+                lat_ms = (t_host - self._stamp_t[sslot]) * 1e3
+                self.hit_latencies_ms.append(lat_ms)
+                if self.metrics is not None:
+                    self.metrics.observe("engine.hit_latency", lat_ms)
+            else:
+                # no enqueue stamp (block ran outside the pipelined path):
+                # keep 1:1 alignment between hit_latencies_ms and harvested
+                # events so callers can zip them
+                self.hit_latencies_ms.append(float("nan"))
         self._harvested = count
         if self.metrics is not None:
             self.metrics.count("engine.hits", float(new))
         return out
+
+    # -- continuous harvester: event-driven hit delivery off the audio path
+
+    def start_harvester(self, sink, period: float = 0.0) -> None:
+        """Poll :meth:`harvest` continuously on a dedicated thread and feed
+        each ``(onset, Location)`` to ``sink``.
+
+        The harvest readback is the latency-critical hop of the serve loop:
+        polled from the producer loop it adds the poll period to every
+        hit's latency; here it runs back-to-back (``period=0``) so a hit
+        reaches the host one readback after its block's device step — on a
+        locally-attached chip that is sub-ms; through a tunneled dev chip
+        each readback costs the transport RTT (measure it and subtract to
+        estimate deployment latency, as the demo does).  Runs on its own
+        thread so a slow readback never blocks dispatch.
+        """
+        import threading
+
+        if getattr(self, "_harvester", None) is not None:
+            raise RuntimeError("harvester already running")
+        self._harvest_stop = threading.Event()
+
+        def loop():
+            while not self._harvest_stop.is_set():
+                for ev in self.harvest():
+                    sink(ev)
+                if period > 0:
+                    self._harvest_stop.wait(period)
+
+        self._harvester = threading.Thread(target=loop, daemon=True)
+        self._harvester.start()
+
+    def stop_harvester(self, timeout: float = 10.0) -> None:
+        if getattr(self, "_harvester", None) is None:
+            return
+        self._harvest_stop.set()
+        self._harvester.join(timeout=timeout)
+        self._harvester = None
 
     def event_counter(self) -> tuple[int, int]:
         """(absolute sample counter, samples since block start) for 'now' —

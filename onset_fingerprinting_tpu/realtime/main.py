@@ -48,6 +48,14 @@ def build_engine(
     locator_kw = {}
     if conf.get("drum_diameter"):  # persisted head size (cm): legality
         locator_kw["drum_diameter"] = float(conf["drum_diameter"])
+    if conf.get("feasibility_tols"):
+        # completion-feasibility cascade (cm tiers): the reference's
+        # single 1 cm tier grid-aliases near sensors and drops ~1% of
+        # genuine strikes (_LagMapsMixin._feasible_cell); setups can opt
+        # into e.g. [1, 2] to recover them (default: reference parity)
+        locator_kw["feasibility_tols"] = tuple(
+            float(t) for t in conf["feasibility_tols"]
+        )
     locator = Multilaterate3D(
         sensor_locations=conf["sensor_locations"],
         sr=sr,

@@ -42,6 +42,7 @@ def save_setup(
     json_name: str = "ml_conf.json",
     model_input: str = "arrival",
     drum_diameter: Optional[float] = None,
+    feasibility_tols: Optional[tuple] = None,
 ) -> None:
     """``model_input`` records which lag representation the model was
     trained on ("arrival" pair lags — reference parity — or fixed-order
@@ -63,6 +64,10 @@ def save_setup(
         conf["model_input"] = model_input
     if drum_diameter is not None:
         conf["drum_diameter"] = drum_diameter
+    if feasibility_tols is not None:
+        # locator completion-feasibility cascade (cm tiers) — see
+        # locate.multilaterate._LagMapsMixin._feasible_cell
+        conf["feasibility_tols"] = [float(t) for t in feasibility_tols]
     (path / json_name).write_text(json.dumps(conf, indent=2))
     if model is not None:
         import orbax.checkpoint as ocp

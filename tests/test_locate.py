@@ -187,6 +187,60 @@ class TestMultilaterate3D:
         # lag way beyond the drum's physical span on the same seed
         assert m.locate(1, 1000 + 100000) is None
 
+    def test_feasibility_cascade_recovers_grid_aliased_hit(self):
+        """A genuine strike ~5.6 cm from sensor 0: its two lag hyperbolae
+        become nearly concentric circles around that sensor, and at the cm
+        grid quantization the ±1 cm bands share NO cell (zero jointly
+        feasible cells on the whole map) — the reference's single-tier
+        is_legal_3d (multilateration.py:413-426, tolerance=1) silently
+        drops the completed group (its own `TODO: INVESTIGATE THIS` path,
+        :508).  Default tols=(1.0,) reproduces that (parity); the
+        (1.0, 2.0) cascade recovers the hit, Newton refining the coarser
+        cell to <0.2 cm.  Event sequence recorded from the realtime sim's
+        modal stream (true strike (10.43, -0.55))."""
+        polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+        seq = [(48068, 0), (48268, 2), (48276, 1)]
+
+        m = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                            sr=SR)
+        assert [m.locate(ch, o) for o, ch in seq] == [None, None, None]
+        # the completed group parked inert (reference behavior)
+        assert any(len(g[0]) == 3 for g in m.ongoing)
+
+        m2 = Multilaterate3D(polar, drum_diameter=DIAM, medium="drumhead",
+                             sr=SR, feasibility_tols=(1.0, 2.0))
+        res = [m2.locate(ch, o) for o, ch in seq]
+        assert res[:2] == [None, None] and res[2] is not None
+        assert np.hypot(res[2][0] - 10.43, res[2][1] + 0.55) < 0.2
+
+    def test_feasibility_cascade_jittable_parity(self):
+        """The jittable locator inherits the host's feasibility_tols and
+        emits the same recovered point."""
+        import jax.numpy as jnp
+
+        from onset_fingerprinting_tpu.locate.multilaterate import (
+            locator_init,
+            make_locate_update,
+        )
+
+        polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+        seq = [(48068, 0), (48268, 2), (48276, 1)]
+        for tols, expect_emit in [((1.0,), False), ((1.0, 2.0), True)]:
+            m = Multilaterate3D(polar, drum_diameter=DIAM,
+                                medium="drumhead", sr=SR,
+                                feasibility_tols=tols)
+            upd = make_locate_update(m, capacity=8)
+            st = locator_init(8)
+            emitted = []
+            for o, ch in seq:
+                st, xy, valid = upd(st, jnp.int32(ch), jnp.int32(o))
+                if bool(valid):
+                    emitted.append(np.asarray(xy))
+            assert bool(emitted) == expect_emit
+            if expect_emit:
+                assert np.hypot(emitted[0][0] - 10.43,
+                                emitted[0][1] + 0.55) < 0.2
+
     def test_model_bypass(self):
         radius = DIAM / 2
         polar, xyz = sensors_3d(radius)

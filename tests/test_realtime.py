@@ -233,6 +233,38 @@ class TestOnlineAnalysis:
         bpm = ana.bpm(-800)
         assert 110 < bpm < 130 or 55 < bpm < 65  # octave ambiguity allowed
 
+    def test_micro_batched_dispatch_matches_single_block(self):
+        """start_pipeline(batch_blocks=n) scans the SAME per-block step —
+        the state trajectory (and so every located hit) must be identical
+        to n sequential single-block steps."""
+        import jax
+        import jax.numpy as jnp
+
+        from onset_fingerprinting_tpu.locate import Multilaterate3D
+
+        cfg = DetectorConfig(n_channels=3, block_size=128, hipass_freq=0.0,
+                             sr=96000)
+        polar = [(0.9, 0.0, 0.0), (0.9, 120.0, 0.0), (0.9, 240.0, 0.0)]
+        loc = Multilaterate3D(polar, drum_diameter=14 * 2.54,
+                              medium="drumhead", sr=96000)
+        rng = np.random.default_rng(0)
+        blocks = rng.normal(0, 0.1, (8, 128, 3)).astype(np.float32)
+
+        eng_a = RealtimeEngine(cfg, loc, use_pallas=False)
+        for b in blocks:
+            eng_a.process_nosync(b)
+        st_a = eng_a.state
+
+        eng_b = RealtimeEngine(cfg, loc, use_pallas=False)
+        eng_b.start_pipeline(depth=16, batch_blocks=4)
+        st = eng_b.state
+        st = eng_b._step_multi(st, jnp.asarray(blocks[:4]))
+        st = eng_b._step_multi(st, jnp.asarray(blocks[4:]))
+        eng_b.stop_pipeline()
+
+        for a, b in zip(jax.tree.leaves(st_a), jax.tree.leaves(st)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_out_of_order_hop_end_never_uses_stale_cache(self):
         """hop(end=...) permits arbitrary stream positions; the cached
         previous log-spectrum is only valid when the new hop follows the
@@ -365,6 +397,20 @@ class TestSetupIO:
         save_setup([[0.9, 0, 0]], "air", None, None, None, tmp_path)
         conf, model = load_setup(tmp_path)
         assert model is None and conf["c"] is None
+
+    def test_feasibility_tols_roundtrip(self, tmp_path):
+        """Setups can opt the serve locator into the feasibility cascade
+        (recovers grid-aliased near-sensor strikes the reference drops —
+        see test_locate.py's cascade tests)."""
+        from onset_fingerprinting_tpu.realtime.main import build_engine
+
+        locs = [[0.9, 0, 0], [0.9, 120, 0], [0.9, 240, 0]]
+        save_setup(locs, "drumhead", 82.0, None, None, tmp_path,
+                   feasibility_tols=(1.0, 2.0))
+        conf, _ = load_setup(tmp_path)
+        assert conf["feasibility_tols"] == [1.0, 2.0]
+        eng = build_engine(tmp_path)
+        assert eng.locator.feasibility_tols == (1.0, 2.0)
 
 
 class TestEngineMetrics:
