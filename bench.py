@@ -37,6 +37,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -121,26 +122,35 @@ def make_audio(t: int, c: int, seed: int = 0):
     """Synthesize the bench workload ON DEVICE (a [1 s, C=8192] f32 array
     pushed through the axon tunnel takes minutes; jax.random on chip takes
     milliseconds).  Hits every HIT_PERIOD samples so detection +
-    fingerprinting do real work."""
+    fingerprinting do real work.
+
+    Jitted with static (t, c): run eagerly, the RNG draw and the burst add
+    each materialize a full [t, c] HBM buffer (2x peak) — that, not
+    detection, was the C=65536 wall (VERDICT r3 #10).  Fused, synthesis
+    peaks at ~one output buffer and the width probe moves to the real
+    detector/fingerprint ceiling."""
     import jax
     import jax.numpy as jnp
 
-    key = jax.random.PRNGKey(seed)
-    x = jax.random.normal(key, (t, c), jnp.float32) * 1e-3
-    tt = jnp.arange(BURST_LEN)
-    burst = (
-        jnp.sin(2 * jnp.pi * 5000 / SR * tt) * jnp.exp(-tt / 150) * 0.5
-    )
-    pattern = jnp.concatenate([burst, jnp.zeros(HIT_PERIOD - BURST_LEN)])
-    idx = jnp.arange(t) - HIT_FIRST
-    phase = jnp.mod(idx, HIT_PERIOD)
-    # bursts at HIT_FIRST + k*HIT_PERIOD for k in [0, n_injected(t));
-    # idx - phase is the burst's start relative to HIT_FIRST
-    fit = t - (HIT_FIRST + BURST_LEN + BURST_MARGIN)
-    profile = jnp.where(
-        (idx >= 0) & (idx - phase <= fit), pattern[phase], 0.0
-    )
-    return x + profile[:, None]
+    @partial(jax.jit, static_argnums=(1, 2))
+    def synth(key, t, c):
+        x = jax.random.normal(key, (t, c), jnp.float32) * 1e-3
+        tt = jnp.arange(BURST_LEN)
+        burst = (
+            jnp.sin(2 * jnp.pi * 5000 / SR * tt) * jnp.exp(-tt / 150) * 0.5
+        )
+        pattern = jnp.concatenate([burst, jnp.zeros(HIT_PERIOD - BURST_LEN)])
+        idx = jnp.arange(t) - HIT_FIRST
+        phase = jnp.mod(idx, HIT_PERIOD)
+        # bursts at HIT_FIRST + k*HIT_PERIOD for k in [0, n_injected(t));
+        # idx - phase is the burst's start relative to HIT_FIRST
+        fit = t - (HIT_FIRST + BURST_LEN + BURST_MARGIN)
+        profile = jnp.where(
+            (idx >= 0) & (idx - phase <= fit), pattern[phase], 0.0
+        )
+        return x + profile[:, None]
+
+    return synth(jax.random.PRNGKey(seed), t, c)
 
 
 def _conv_warm_sentinel() -> Path:

@@ -2,7 +2,7 @@
 
 Equivalent of running the reference's training entry with its optuna study
 (reference: train.py:22-145) — here `models.experiment.run_location_hpo`
-drives `models.hpo.Study` (random search + median pruning) over CCCNN
+drives `models.hpo.Study` (TPE sampler + median pruning) over CCCNN
 configs, with every training step jitted on the TPU.
 
 Two fixtures (``--fixture``):

@@ -187,11 +187,16 @@ class _ConvParams(nn.Module):
 
 
 class _ConvStack(nn.Module):
-    """Shared conv feature extractor applied per channel.
+    """Conv feature extractor.
 
-    ``group=True`` mimics the reference's grouped conv (independent weights
-    per channel); ``group=False`` shares one stack across channels (the
-    reference's ``torch.func.vmap`` path, model.py:519).
+    ``groups == 1``: one shared stack applied per channel (callers fold
+    channels into the batch — the reference's ``torch.func.vmap`` path,
+    model.py:519).  ``groups > 1``: the reference's grouped formulation
+    (model.py:487-498) — input ``[B, L, groups]``, every layer a grouped
+    conv with INDEPENDENT weights per channel (``feature_group_count``),
+    and ``batch_norm`` one GroupNorm(1, ·) spanning ALL ``groups * width``
+    features JOINTLY per sample (model.py:502) — the normalization set
+    that makes reference ``group=True`` checkpoints convertible.
     """
 
     layer_sizes: Sequence[int]
@@ -209,6 +214,9 @@ class _ConvStack(nn.Module):
     #: blocked-band width for conv_impl='mxu' (see Conv1dMXU.u_block);
     #: None = dense band
     conv_u_block: int | None = None
+    #: channel groups (the reference's ``groups=channels`` grouped conv);
+    #: requires conv_impl='conv'
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -288,7 +296,9 @@ class _ConvStack(nn.Module):
                 c = width
                 xf = act(xf)
             return xf.reshape(b, v, c)
-        # x: [B', L, 1]
+        if self.groups > 1 and self.conv_impl != "conv":
+            raise ValueError("groups > 1 requires conv_impl='conv'")
+        # x: [B', L, 1] (groups == 1) or [B, L, groups]
         for i, (width, ks, stride) in enumerate(
             zip(self.layer_sizes, self.kernel_sizes, self.strides)
         ):
@@ -303,18 +313,22 @@ class _ConvStack(nn.Module):
                 )(x)
             else:
                 x = nn.Conv(
-                    features=width,
+                    features=width * self.groups,
                     kernel_size=(ks,),
                     strides=(stride,),
                     padding=self.padding,
                     kernel_dilation=(self.dilation,),
+                    feature_group_count=self.groups,
                     dtype=self.dtype,
                     name=f"Conv_{i}",
                 )(x)
             x = act(x)
             if self.batch_norm:
-                # reference uses GroupNorm(1, ·) here (model.py:502)
-                x = nn.GroupNorm(num_groups=1)(x)
+                # reference uses GroupNorm(1, ·) here (model.py:502) — ONE
+                # group over the full feature axis, so in grouped mode all
+                # channels normalize jointly, exactly like torch's
+                # GroupNorm(1, C*K) over [B, C*K, V].  eps matches torch.
+                x = nn.GroupNorm(num_groups=1, epsilon=1e-5)(x)
             if self.pool:
                 x = nn.max_pool(x, window_shape=(2,), strides=(2,))
         return x
@@ -388,6 +402,12 @@ class CCCNN(nn.Module):
             if isinstance(self.strides, int)
             else list(self.strides)
         )
+        if self.group and self.conv_impl != "conv":
+            raise ValueError(
+                f"conv_impl={self.conv_impl!r} requires group=False (the "
+                "flagship shared-weights configuration); grouped convs use "
+                "conv_impl='conv'"
+            )
         stack = _ConvStack(
             layer_sizes=self.layer_sizes,
             kernel_sizes=ks,
@@ -400,21 +420,18 @@ class CCCNN(nn.Module):
             dtype=self.dtype,
             conv_impl=self.conv_impl,
             conv_u_block=self.conv_u_block,
+            groups=c if self.group else 1,
         )
-        if self.group and self.conv_impl == "pallas":
-            raise ValueError(
-                "conv_impl='pallas' requires group=False (the flagship "
-                "shared-weights configuration)"
-            )
         if self.group:
-            # independent weights per channel: vmap the stack over channels
-            feats = nn.vmap(
-                lambda mdl, xc: mdl(xc, train=train),
-                in_axes=1,
-                out_axes=1,
-                variable_axes={"params": 0, "batch_stats": 0},
-                split_rngs={"params": True, "dropout": True},
-            )(stack, x[..., None])  # [B, C, V, K]
+            # the reference's grouped formulation (model.py:487-519):
+            # independent weights per channel via grouped convs, one JOINT
+            # GroupNorm across all channels' features when batch_norm.
+            # Torch's grouped output channel order is [channel-major, then
+            # feature] — channel ch's K maps live at [ch*K, (ch+1)*K).
+            feats = stack(jnp.swapaxes(x, 1, 2), train=train)  # [B, V, C*K]
+            v = feats.shape[1]
+            feats = feats.reshape(b, v, c, -1)  # [B, V, C, K]
+            feats = feats.transpose(0, 2, 1, 3)  # [B, C, V, K]
         else:
             # shared weights: fold channels into the batch
             flat = x.reshape(b * c, length, 1)

@@ -333,22 +333,20 @@ def cccnn_variables_from_state_dict(
       lag, so the reference's grouped-conv lag ordering and our
       FFT/DFT ordering feed the head identical vectors.
 
+    ``group=True`` checkpoints convert with the SAME tensor mapping: the
+    flax group path is the reference's own grouped formulation (grouped
+    convs via ``feature_group_count`` with torch's channel-major output
+    order, plus ONE GroupNorm spanning all C·K features jointly,
+    model.py:487-502), so torch's grouped ``weight [C*K_out, K_in, k]``
+    transposes to the grouped ``nn.Conv`` kernel ``[k, K_in, C*K_out]``
+    verbatim and the joint norm's scale/bias carry over unchanged.
+
     :param model: the flax CCCNN the variables must fit (same
-        ``layer_sizes``/``batch_norm`` the checkpoint was trained with;
-        ``cc_norm`` must be False — the redesigned head has a different
-        fc shape by construction).
-    :raises NotImplementedError: for ``group=True`` checkpoints — the
-        reference normalizes all C·K grouped features jointly in ONE
-        GroupNorm (model.py:502) while our vmapped group path normalizes
-        per channel; the conversion would silently change eval outputs.
+        ``layer_sizes``/``batch_norm``/``group`` the checkpoint was
+        trained with; ``cc_norm`` must be False — the redesigned head has
+        a different fc shape by construction).
     :raises ValueError: on layer-count/shape mismatches.
     """
-    if getattr(model, "group", False):
-        raise NotImplementedError(
-            "group=True CCCNN checkpoints are not convertible: the "
-            "reference's single GroupNorm spans all channels' features "
-            "jointly; re-train with the native trainer instead"
-        )
     if getattr(model, "cc_norm", False):
         raise ValueError(
             "cc_norm=True changes the dense-head input layout; reference "
@@ -388,18 +386,24 @@ def cccnn_variables_from_state_dict(
             f"batch_norm={model.batch_norm})"
         )
 
+    # grouped checkpoints carry channels-times-wider conv tensors
+    # (out = layer_size * channels, model.py:488-494)
+    g = model.channels if getattr(model, "group", False) else 1
     stack: dict[str, dict] = {}
     for i in sorted(convs):
         slot = convs[i]
-        # torch Conv1d [out, in, k] → flax nn.Conv [k, in, out]
+        # torch Conv1d [out, in/groups, k] → flax nn.Conv [k, in/groups,
+        # out]; identical for grouped convs (both order output features
+        # channel-major)
         stack[f"Conv_{i - 1}"] = {
             "kernel": slot["weight"].transpose(2, 1, 0),
             "bias": slot["bias"],
         }
-        if model.layer_sizes[i - 1] != slot["weight"].shape[0]:
+        if model.layer_sizes[i - 1] * g != slot["weight"].shape[0]:
             raise ValueError(
                 f"conv{i} has {slot['weight'].shape[0]} output features; "
                 f"model_args layer_sizes says {model.layer_sizes[i - 1]}"
+                + (f" x {g} grouped channels" if g > 1 else "")
             )
     for i in sorted(norms):
         stack[f"GroupNorm_{i - 1}"] = {

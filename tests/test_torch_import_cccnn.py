@@ -41,6 +41,14 @@ CONFIGS = [
      "groupnorm"),
     (dict(layer_sizes=[4], kernel_sizes=7, pool=True, padding=2), "pool"),
     (dict(layer_sizes=[3, 4], kernel_sizes=3, strides=[1, 2]), "strided"),
+    # grouped formulation: independent per-channel conv weights
+    # (model.py:487-494)
+    (dict(layer_sizes=[4, 6], kernel_sizes=3, group=True), "grouped"),
+    # the round-3 refusal case, now convertible: the reference's ONE
+    # GroupNorm spans all C*K grouped features jointly (model.py:502) and
+    # the flax group path normalizes the same joint set
+    (dict(layer_sizes=[4, 6], kernel_sizes=3, group=True, batch_norm=True),
+     "grouped_joint_norm"),
 ]
 
 
@@ -149,8 +157,9 @@ def test_cccnn_import_rejects_mismatches(ref_model):
             sd, CCCNN(output_size=2, channels=3, layer_sizes=(4, 6),
                       kernel_sizes=3, batch_norm=True)
         )
-    # grouped checkpoints: explicit refusal (normalization set differs)
-    with pytest.raises(NotImplementedError, match="group"):
+    # a group=False checkpoint cannot land on a group=True model: grouped
+    # convs are channels-times wider (out = layer_size * channels)
+    with pytest.raises(ValueError, match="grouped channels"):
         cccnn_variables_from_state_dict(
             sd, CCCNN(output_size=2, channels=3, layer_sizes=(4, 6),
                       kernel_sizes=3, group=True)
