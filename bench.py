@@ -618,8 +618,11 @@ def main() -> int:
     # peak HBM at 1/3 s; one host sync per second of audio).  Round-3 sweep
     # (v5e, combined detect→fingerprint, correctness-gated): C=8192
     # (chunks=1) → 19476x, C=16384 (chunks=2) → 22444x, C=32768 (chunks=3)
-    # → 23080x; C=65536 exhausts HBM at audio synthesis.  Gains flatten
-    # past C=32768 (floor amortization ~done), so that is the default.
+    # → 23080x.  Round-4 probe (jitted synthesis): C=65536 (chunks=6)
+    # runs clean — 35565x combined / 52953x detect-only at recall 1.0 —
+    # but fingerprint work scales with real hits, so combined gains
+    # flatten past C=32768 (floor amortization ~done); that stays the
+    # default.
     n_streams = int(os.environ.get("OFPTPU_BENCH_STREAMS", "8192"))
     chunks = int(os.environ.get("OFPTPU_BENCH_CHUNKS", "3"))
 
