@@ -141,16 +141,42 @@ def main():
         (x_train, y_train), val, epochs_per_step=max(args.epochs // 10, 1)
     )
     cccnn_err = trainer.test(state, test)
+    print(f"self-CC CCCNN done ({time.perf_counter()-t0:.1f}s)", flush=True)
+
+    # 4. paired-CC CCCNN (beyond the reference): cross-channel pair CC
+    # features carry the TDOA cue the self-CC features are blind to (see
+    # CCCNN.cc_pairs).  ±112 lags cover the fixture's physical delay range
+    # (35.6 cm head / 343 m/s ≈ 98 samples at 96 kHz) within the conv
+    # output length (V=133).
+    pmodel = build_cccnn(None, channels=4, cc_pairs="all", cc_pair_lags=112)
+    ptrainer = Trainer(
+        pmodel,
+        cfg,
+        optimizer=make_optimizer(
+            "adam", args.lr, schedule="cosine", schedule_period=100,
+        ),
+    )
+    pstate = ptrainer.fit(
+        (x_train, y_train), val, epochs_per_step=max(args.epochs // 10, 1)
+    )
+    paired_err = ptrainer.test(pstate, test)
 
     print()
     print(f"{'model':<22}{'test L1 (cm)':>14}")
     print(f"{'predict-mean':<22}{base:>14.3f}")
     print(f"{'lag-FCNN':<22}{fcnn_err:>14.3f}")
     print(f"{'raw-window CCCNN':<22}{cccnn_err:>14.3f}")
+    print(f"{'paired-CC CCCNN':<22}{paired_err:>14.3f}")
     print(f"total {time.perf_counter()-t0:.1f}s")
 
-    # capability bar: CCCNN must CRUSH the mean floor, not shave it
-    ok = cccnn_err < 0.35 * base and fcnn_err < 0.6 * base
+    # capability bar: CCCNN must CRUSH the mean floor, not shave it; the
+    # paired head must at least match the self-CC flagship (it sees a
+    # strict superset of its features)
+    ok = (
+        cccnn_err < 0.35 * base
+        and fcnn_err < 0.6 * base
+        and paired_err < 1.15 * cccnn_err
+    )
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

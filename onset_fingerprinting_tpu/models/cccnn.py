@@ -366,6 +366,23 @@ class CCCNN(nn.Module):
     #: otherwise discard — on the modal-drum fixture those two cues carry
     #: the position signal.  Default False preserves reference parity.
     cc_norm: bool = False
+    #: cross-channel PAIR correlation features (beyond the reference): the
+    #: self-CC features are per-channel shift-invariant, so they carry NO
+    #: inter-channel TDOA signal — the very cue the lag-map locator and
+    #: lag-FCNN exploit (0.14 cm vs self-CC CCCNN's 0.63 cm on the modal
+    #: fixture).  Cross-correlating PAIRS of channel feature maps encodes
+    #: the inter-channel delay differentiably (the learned analogue of
+    #: find_lag_multi, detection.py:195-268; the reference computes paired
+    #: CC only as a data-prep transform, model.py:12-45 — never as model
+    #: features).  None = reference behavior; 'adjacent' = C-1 pairs
+    #: (paired_xcorr's convention); 'all' = C·(C-1)/2 pairs.  Pair CC is
+    #: normalized by the geometric mean of the pair's lag-0 energies
+    #: (bounded in [-1, 1] like cc_norm's self features).
+    cc_pairs: str | None = None
+    #: lags kept per pair: center ± cc_pair_lags (None = all 2V-1).  The
+    #: physical TDOA range is bounded by sensor geometry (diameter/c · sr),
+    #: so cropping discards only padding-born lags and shrinks the head.
+    cc_pair_lags: int | None = None
     #: conv-stack implementation: 'conv' (XLA conv), 'mxu'
     #: (Toeplitz-matmul, see Conv1dMXU — fast cold compile), or 'pallas'
     #: (fused whole-stack kernel, ops/pallas_conv.py — the fast serving
@@ -457,8 +474,8 @@ class CCCNN(nn.Module):
             cc = batch_self_correlate_dft(feats, precision=prec, sum_axis=2)
         else:
             cc = batch_full_correlate(feats, feats).sum(axis=2)  # [B,C,2V-1]
+        v = feats.shape[-1]
         if self.cc_norm:
-            v = feats.shape[-1]
             # lag-0 (the center column) is sum over maps of ||f||^2
             lag0 = cc[..., v - 1 : v] + 1e-6
             probs = jnp.concatenate(
@@ -470,5 +487,39 @@ class CCCNN(nn.Module):
             )
         else:
             probs = nn.softmax(cc, axis=-1).reshape(b, -1)
+        if self.cc_pairs is not None:
+            if self.cc_pairs == "adjacent":
+                pairs = [(i, i + 1) for i in range(c - 1)]
+            elif self.cc_pairs == "all":
+                pairs = [(i, j) for i in range(c) for j in range(i + 1, c)]
+            else:
+                raise ValueError(
+                    "cc_pairs must be None, 'adjacent' or 'all', "
+                    f"got {self.cc_pairs!r}"
+                )
+            pi = jnp.array([i for i, _ in pairs])
+            pj = jnp.array([j for _, j in pairs])
+            # [B, P, K, 2V-1] summed over maps → [B, P, 2V-1]; lag index
+            # v-1-d peaks when channel pi leads pj by d samples (the
+            # np.correlate 'full' convention batch_full_correlate emits)
+            pcc = batch_full_correlate(feats[:, pi], feats[:, pj]).sum(
+                axis=2
+            )
+            if self.cc_pair_lags is not None:
+                if self.cc_pair_lags >= v:
+                    raise ValueError(
+                        f"cc_pair_lags={self.cc_pair_lags} exceeds the "
+                        f"feature-map length {v} - 1"
+                    )
+                lo = v - 1 - self.cc_pair_lags
+                pcc = pcc[..., lo : lo + 2 * self.cc_pair_lags + 1]
+            # normalize by the pair's geometric-mean energy: bounded,
+            # scale-free, keeps gradients conditioned (raw pair CC has the
+            # same magnitude degeneracy as the raw self-CC softmax)
+            lag0c = cc[..., v - 1] + 1e-6  # [B, C] per-channel energy
+            norm = jnp.sqrt(lag0c[:, pi] * lag0c[:, pj])[..., None]
+            probs = jnp.concatenate(
+                [probs, (pcc / norm).reshape(b, -1)], axis=-1
+            )
         probs = nn.Dropout(self.dropout_rate, deterministic=not train)(probs)
         return nn.Dense(self.output_size)(probs)

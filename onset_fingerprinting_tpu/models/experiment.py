@@ -24,7 +24,12 @@ from onset_fingerprinting_tpu.models.hpo import Study, Trial, TrialPruned
 from onset_fingerprinting_tpu.models.train import Trainer, make_optimizer
 
 
-def build_cccnn(trial: Optional[Trial] = None, channels: int = 4) -> CCCNN:
+def build_cccnn(
+    trial: Optional[Trial] = None,
+    channels: int = 4,
+    cc_pairs: Optional[str] = None,
+    cc_pair_lags: Optional[int] = None,
+) -> CCCNN:
     """The reference's HPO-winning architecture skeleton (train.py:79-90):
     7 conv layers of width 5 with kernel schedule [1,33,64,15,15,15,1];
     dropout searched when a trial is given.
@@ -33,6 +38,10 @@ def build_cccnn(trial: Optional[Trial] = None, channels: int = 4) -> CCCNN:
     softmax head saturates one-hot for self-correlations and cannot train
     (see CCCNN.cc_norm); with it, the same conv skeleton reaches sub-cm on
     the modal-drum fixture (examples/fingerprint_capability_demo.py).
+
+    ``cc_pairs``/``cc_pair_lags`` additionally feed cross-channel pair-CC
+    features to the head (see CCCNN.cc_pairs — the TDOA cue self-CC
+    features cannot carry).
     """
     dropout = trial.suggest_float("dropout", 0.0, 0.1) if trial else 0.0
     return CCCNN(
@@ -44,6 +53,8 @@ def build_cccnn(trial: Optional[Trial] = None, channels: int = 4) -> CCCNN:
         batch_norm=True,
         group=False,
         cc_norm=True,
+        cc_pairs=cc_pairs,
+        cc_pair_lags=cc_pair_lags,
     )
 
 

@@ -401,6 +401,96 @@ class TestCCNormHead:
             atol=2e-4,
         )
 
+    def test_cc_pairs_shapes_and_crop(self):
+        """cc_pairs adds P*(2V-1) pair features ('adjacent' P=C-1, 'all'
+        P=C(C-1)/2); cc_pair_lags crops each pair to 2L+1 lags.  The conv
+        stack's param tree is unchanged — only the dense head widens."""
+        kw = dict(output_size=2, channels=3, layer_sizes=[4],
+                  kernel_sizes=5, dropout_rate=0.0, cc_norm=True)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(0, 1, (4, 3, 64)), jnp.float32
+        )
+        widths, stacks = {}, {}
+        for mode, lags in ((None, None), ("adjacent", None), ("all", None),
+                           ("adjacent", 10)):
+            m = CCCNN(cc_pairs=mode, cc_pair_lags=lags, **kw)
+            v = m.init(jax.random.PRNGKey(0), x, train=False)
+            out = m.apply(v, x, train=False)
+            assert out.shape == (4, 2)
+            assert np.isfinite(np.asarray(out)).all()
+            widths[(mode, lags)] = v["params"]["Dense_0"]["kernel"].shape[0]
+            stacks[(mode, lags)] = jax.tree_util.tree_structure(
+                v["params"]["_ConvStack_0"]
+            )
+        base = widths[(None, None)]
+        v2 = 2 * 62 - 1  # conv length 62 (len 64, k=5, pad 1) → 2V-1 lags
+        assert widths[("adjacent", None)] == base + 2 * v2
+        assert widths[("all", None)] == base + 3 * v2
+        assert widths[("adjacent", 10)] == base + 2 * 21
+        assert len(set(stacks.values())) == 1
+
+    def test_cc_pairs_add_tdoa_sensitivity(self):
+        """Self-CC features are per-channel shift-invariant: delaying one
+        channel of a compactly-supported burst leaves the cc_norm model's
+        output unchanged — the TDOA cue is invisible to it.  The SAME
+        delay moves the pair-CC lag peak, so the cc_pairs model's output
+        must move."""
+        rng = np.random.default_rng(3)
+        burst = rng.normal(0, 1, 24).astype(np.float32)
+        x = np.zeros((1, 2, 128), np.float32)
+        x[0, :, 40:64] = burst
+        xs = np.zeros_like(x)
+        xs[0, 0, 40:64] = burst
+        xs[0, 1, 48:72] = burst  # channel 1 delayed by 8 samples
+        kw = dict(output_size=2, channels=2, layer_sizes=[4],
+                  kernel_sizes=5, dropout_rate=0.0, cc_norm=True)
+        m0 = CCCNN(cc_pairs=None, **kw)
+        v0 = m0.init(jax.random.PRNGKey(1), jnp.asarray(x), train=False)
+        o0 = np.asarray(m0.apply(v0, jnp.asarray(x), train=False))
+        o0s = np.asarray(m0.apply(v0, jnp.asarray(xs), train=False))
+        np.testing.assert_allclose(o0, o0s, atol=1e-4)
+        m1 = CCCNN(cc_pairs="adjacent", **kw)
+        v1 = m1.init(jax.random.PRNGKey(1), jnp.asarray(x), train=False)
+        o1 = np.asarray(m1.apply(v1, jnp.asarray(x), train=False))
+        o1s = np.asarray(m1.apply(v1, jnp.asarray(xs), train=False))
+        assert np.max(np.abs(o1 - o1s)) > 1e-3
+
+    def test_cc_pairs_revive_reference_head_gradients(self):
+        """With the reference's raw-CC softmax head (cc_norm=False) the
+        conv gradients are dead (saturated one-hot softmax); adding
+        normalized pair features restores a live gradient path through
+        the conv stack."""
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(0, 1, (8, 3, 96)), jnp.float32)
+        y = jnp.asarray(rng.normal(0, 5, (8, 2)), jnp.float32)
+        norms = {}
+        for pairs in (None, "adjacent"):
+            m = CCCNN(output_size=2, channels=3, layer_sizes=[4],
+                      kernel_sizes=7, dropout_rate=0.0, cc_norm=False,
+                      cc_pairs=pairs)
+            v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+            def loss(p):
+                out = m.apply({**v, "params": p}, x, train=False)
+                return jnp.mean(jnp.abs(out - y))
+
+            g = jax.grad(loss)(v["params"])
+            conv = g["_ConvStack_0"]["Conv_0"]["kernel"]
+            norms[pairs] = float(jnp.linalg.norm(conv))
+        assert norms[None] < 1e-6
+        assert norms["adjacent"] > 1e3 * max(norms[None], 1e-12)
+
+    def test_cc_pairs_invalid_values_raise(self):
+        x = jnp.zeros((2, 2, 64), jnp.float32)
+        m = CCCNN(output_size=2, channels=2, layer_sizes=[3],
+                  kernel_sizes=5, cc_pairs="every")
+        with pytest.raises(ValueError, match="cc_pairs"):
+            m.init(jax.random.PRNGKey(0), x, train=False)
+        m = CCCNN(output_size=2, channels=2, layer_sizes=[3],
+                  kernel_sizes=5, cc_pairs="adjacent", cc_pair_lags=4096)
+        with pytest.raises(ValueError, match="cc_pair_lags"):
+            m.init(jax.random.PRNGKey(0), x, train=False)
+
     def test_invalid_cc_impl_raises(self):
         model = CCCNN(output_size=2, channels=2, layer_sizes=[3],
                       kernel_sizes=5, cc_impl="DFT")
