@@ -25,6 +25,7 @@ from onset_fingerprinting_tpu.models.fcnn import ACTIVATIONS
 from onset_fingerprinting_tpu.ops.xcorr import (
     batch_full_correlate,
     batch_self_correlate_dft,
+    self_and_pair_correlate_dft,
 )
 
 
@@ -462,7 +463,19 @@ class CCCNN(nn.Module):
         # dtype; with bf16 features the DFT matmuls run at DEFAULT
         # precision (one MXU pass — the features carry bf16 error already,
         # HIGHEST would cost ~6x for nothing), f32 features get HIGHEST.
+        if self.cc_pairs == "adjacent":
+            pairs = [(i, i + 1) for i in range(c - 1)]
+        elif self.cc_pairs == "all":
+            pairs = [(i, j) for i in range(c) for j in range(i + 1, c)]
+        elif self.cc_pairs is None:
+            pairs = None
+        else:
+            raise ValueError(
+                "cc_pairs must be None, 'adjacent' or 'all', "
+                f"got {self.cc_pairs!r}"
+            )
         feats = feats.astype(jnp.float32)
+        pcc = None
         if self.cc_impl == "dft":
             prec = (
                 jax.lax.Precision.DEFAULT
@@ -471,7 +484,17 @@ class CCCNN(nn.Module):
             )
             # sum over the K maps on the power spectrum (linear transform
             # — identical values, K-fold less inverse-matmul work)
-            cc = batch_self_correlate_dft(feats, precision=prec, sum_axis=2)
+            if pairs is not None:
+                # pair CC shares the self-CC's forward DFT matmuls
+                pi = jnp.array([i for i, _ in pairs])
+                pj = jnp.array([j for _, j in pairs])
+                cc, pcc = self_and_pair_correlate_dft(
+                    feats, pi, pj, precision=prec
+                )
+            else:
+                cc = batch_self_correlate_dft(
+                    feats, precision=prec, sum_axis=2
+                )
         else:
             cc = batch_full_correlate(feats, feats).sum(axis=2)  # [B,C,2V-1]
         v = feats.shape[-1]
@@ -487,24 +510,16 @@ class CCCNN(nn.Module):
             )
         else:
             probs = nn.softmax(cc, axis=-1).reshape(b, -1)
-        if self.cc_pairs is not None:
-            if self.cc_pairs == "adjacent":
-                pairs = [(i, i + 1) for i in range(c - 1)]
-            elif self.cc_pairs == "all":
-                pairs = [(i, j) for i in range(c) for j in range(i + 1, c)]
-            else:
-                raise ValueError(
-                    "cc_pairs must be None, 'adjacent' or 'all', "
-                    f"got {self.cc_pairs!r}"
-                )
+        if pairs is not None:
             pi = jnp.array([i for i, _ in pairs])
             pj = jnp.array([j for _, j in pairs])
-            # [B, P, K, 2V-1] summed over maps → [B, P, 2V-1]; lag index
-            # v-1-d peaks when channel pi leads pj by d samples (the
-            # np.correlate 'full' convention batch_full_correlate emits)
-            pcc = batch_full_correlate(feats[:, pi], feats[:, pj]).sum(
-                axis=2
-            )
+            if pcc is None:
+                # [B, P, K, 2V-1] summed over maps → [B, P, 2V-1]; lag
+                # index v-1-d peaks when channel pi leads pj by d samples
+                # (the np.correlate 'full' convention)
+                pcc = batch_full_correlate(feats[:, pi], feats[:, pj]).sum(
+                    axis=2
+                )
             if self.cc_pair_lags is not None:
                 if self.cc_pair_lags >= v:
                     raise ValueError(

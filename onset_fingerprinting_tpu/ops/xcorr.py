@@ -90,6 +90,94 @@ def _dft_matrices(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return dft_re, dft_im, inv
 
 
+def _dft_inv_sin(n: int) -> np.ndarray:
+    """Sine inverse matrix for CROSS-correlation DFT (see
+    ``batch_cross_correlate_dft``): the cross spectrum of two distinct real
+    signals is complex, so the inverse needs the imaginary part too:
+    ``cc[j] = 1/L Σ_f w_f (Re_f cos(2πfj/L) − Im_f sin(2πfj/L))``.
+    Columns are pre-permuted to full-CC lag order like ``_dft_matrices``'s
+    cosine inverse."""
+    L = ((2 * n - 1 + 15) // 16) * 16
+    f = L // 2 + 1
+    w = np.full(f, 2.0, np.float32)
+    w[0] = 1.0
+    if L % 2 == 0:
+        w[-1] = 1.0
+    j = (np.arange(2 * n - 1) + L - (n - 1)) % L
+    return (
+        -np.sin(2.0 * np.pi * np.outer(np.arange(f), j) / L)
+        * w[:, None]
+        / L
+    ).astype(np.float32)                            # [F, 2n-1]
+
+
+def batch_cross_correlate_dft(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    precision=None,
+    sum_axis: int | None = None,
+) -> jnp.ndarray:
+    """Batched CROSS-correlation ``batch_full_correlate(a, b)`` as MXU
+    matmuls (the cross twin of ``batch_self_correlate_dft``).
+
+    The cross spectrum ``F(a)·conj(F(b))`` is complex (unlike the real-even
+    self power spectrum), so the inverse takes two matmuls — one cosine on
+    the real part, one sine on the imaginary part — after four forward
+    matmuls.  Same precision semantics and ``sum_axis``
+    (sum-before-inverse, linearity) as the self path.  Index ``n-1+l``
+    holds ``Σ_m a[m+l]·b[m]`` — ``np.correlate(mode='full')`` order.
+    """
+    n = a.shape[-1]
+    dft_re, dft_im, inv_cos = _dft_matrices(n)
+    inv_sin = _dft_inv_sin(n)
+    hi = jax.lax.Precision.HIGHEST if precision is None else precision
+    a_re = jnp.matmul(a, jnp.asarray(dft_re), precision=hi)
+    a_im = jnp.matmul(a, jnp.asarray(dft_im), precision=hi)
+    b_re = jnp.matmul(b, jnp.asarray(dft_re), precision=hi)
+    b_im = jnp.matmul(b, jnp.asarray(dft_im), precision=hi)
+    # F(a)·conj(F(b))
+    cross_re = a_re * b_re + a_im * b_im
+    cross_im = a_im * b_re - a_re * b_im
+    if sum_axis is not None:
+        cross_re = cross_re.sum(axis=sum_axis)
+        cross_im = cross_im.sum(axis=sum_axis)
+    return jnp.matmul(
+        cross_re, jnp.asarray(inv_cos), precision=hi
+    ) + jnp.matmul(cross_im, jnp.asarray(inv_sin), precision=hi)
+
+
+def self_and_pair_correlate_dft(
+    feats: jnp.ndarray,
+    pi: jnp.ndarray,
+    pj: jnp.ndarray,
+    precision=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel self-CC plus channel-pair cross-CC, sharing ONE set of
+    forward DFT matmuls (the CCCNN ``cc_pairs`` serving path).
+
+    :param feats: ``[B, C, K, V]`` per-channel feature maps
+    :param pi, pj: ``[P]`` channel indices of each pair
+    :returns: ``(self_cc [B, C, 2V-1], pair_cc [B, P, 2V-1])`` — both
+        summed over the K maps (on the spectrum, before the inverse).
+    """
+    n = feats.shape[-1]
+    dft_re, dft_im, inv_cos = _dft_matrices(n)
+    inv_sin = _dft_inv_sin(n)
+    hi = jax.lax.Precision.HIGHEST if precision is None else precision
+    re = jnp.matmul(feats, jnp.asarray(dft_re), precision=hi)  # [B,C,K,F]
+    im = jnp.matmul(feats, jnp.asarray(dft_im), precision=hi)
+    power = (re * re + im * im).sum(axis=2)  # [B, C, F]
+    self_cc = jnp.matmul(power, jnp.asarray(inv_cos), precision=hi)
+    re_i, im_i = re[:, pi], im[:, pi]  # [B, P, K, F]
+    re_j, im_j = re[:, pj], im[:, pj]
+    cross_re = (re_i * re_j + im_i * im_j).sum(axis=2)  # [B, P, F]
+    cross_im = (im_i * re_j - re_i * im_j).sum(axis=2)
+    pair_cc = jnp.matmul(
+        cross_re, jnp.asarray(inv_cos), precision=hi
+    ) + jnp.matmul(cross_im, jnp.asarray(inv_sin), precision=hi)
+    return self_cc, pair_cc
+
+
 def batch_self_correlate_dft(
     a: jnp.ndarray, precision=None, sum_axis: int | None = None
 ) -> jnp.ndarray:

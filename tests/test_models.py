@@ -401,6 +401,24 @@ class TestCCNormHead:
             atol=2e-4,
         )
 
+    def test_cc_pairs_with_dft_impl_matches_fft(self):
+        """cc_impl='dft' runs the pair CC as shared-forward MXU matmuls
+        (self_and_pair_correlate_dft) — same outputs as the FFT path."""
+        model_kw = dict(
+            output_size=2, channels=3, layer_sizes=[4], kernel_sizes=5,
+            dropout_rate=0.0, cc_norm=True, cc_pairs="all", cc_pair_lags=20,
+        )
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 1, (4, 3, 64)).astype(np.float32))
+        m_fft = CCCNN(cc_impl="fft", **model_kw)
+        m_dft = CCCNN(cc_impl="dft", **model_kw)
+        v = m_fft.init(jax.random.PRNGKey(0), x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(m_fft.apply(v, x, train=False)),
+            np.asarray(m_dft.apply(v, x, train=False)),
+            atol=2e-4,
+        )
+
     def test_cc_pairs_shapes_and_crop(self):
         """cc_pairs adds P*(2V-1) pair features ('adjacent' P=C-1, 'all'
         P=C(C-1)/2); cc_pair_lags crops each pair to 2L+1 lags.  The conv

@@ -178,6 +178,49 @@ class TestXCorr:
             got, ref, atol=1e-3 * max(np.abs(ref).max(), 1.0)
         )
 
+    def test_cross_correlate_dft_matches_fft(self, rng):
+        """DFT-as-matmul CROSS-CC (the cc_pairs serving path) == FFT path;
+        the complex cross spectrum exercises the sine inverse matrix the
+        real-even self path never touches."""
+        from onset_fingerprinting_tpu.ops.xcorr import (
+            batch_cross_correlate_dft,
+        )
+
+        for n in (7, 64, 133):
+            a = jnp.asarray(rng.normal(size=(3, 4, n)).astype(np.float32))
+            b = jnp.asarray(rng.normal(size=(3, 4, n)).astype(np.float32))
+            ref = np.asarray(batch_full_correlate(a, b))
+            got = np.asarray(batch_cross_correlate_dft(a, b))
+            np.testing.assert_allclose(
+                got, ref, atol=1e-3 * max(np.abs(ref).max(), 1.0)
+            )
+        # sum_axis folds the map-sum into the inverse (linearity)
+        a = jnp.asarray(rng.normal(size=(3, 4, 5, 64)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(3, 4, 5, 64)).astype(np.float32))
+        ref = np.asarray(batch_cross_correlate_dft(a, b)).sum(axis=2)
+        got = np.asarray(batch_cross_correlate_dft(a, b, sum_axis=2))
+        np.testing.assert_allclose(
+            got, ref, atol=1e-3 * max(np.abs(ref).max(), 1.0)
+        )
+
+    def test_self_and_pair_correlate_dft(self, rng):
+        """The shared-forward fused path == separate self/pair FFT CCs."""
+        from onset_fingerprinting_tpu.ops.xcorr import (
+            self_and_pair_correlate_dft,
+        )
+
+        feats = jnp.asarray(rng.normal(size=(3, 4, 5, 64)).astype(np.float32))
+        pi = jnp.array([0, 0, 1, 2])
+        pj = jnp.array([1, 2, 3, 3])
+        self_cc, pair_cc = self_and_pair_correlate_dft(feats, pi, pj)
+        ref_self = np.asarray(batch_full_correlate(feats, feats)).sum(axis=2)
+        ref_pair = np.asarray(
+            batch_full_correlate(feats[:, pi], feats[:, pj])
+        ).sum(axis=2)
+        tol = 1e-3 * max(np.abs(ref_self).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(self_cc), ref_self, atol=tol)
+        np.testing.assert_allclose(np.asarray(pair_cc), ref_pair, atol=tol)
+
     def test_streaming_cc_golden(self):
         """The c/test.py harness, ported: streaming CC over sine+noise must
         match np.correlate(mode='full') per block within 1e-3."""
