@@ -176,6 +176,16 @@ def main():
     r["model_apply_pallas"] = timed(
         jax.jit(lambda p, w: model_pal.apply(p, w)), params, windows
     )
+    # paired-CC head (cc_pairs='all', shared-forward DFT matmuls): the
+    # serving cost of the TDOA-aware head vs the self-CC flagship.  Same
+    # conv params; only the head widens, so init reuses the stack cache.
+    model_pair = model_pal.copy(cc_pairs="all", cc_pair_lags=112)
+    params_pair = model_pair.init(
+        key, jnp.zeros((1, CPS, WINDOW), jnp.float32)
+    )
+    r["model_apply_pallas_pairs"] = timed(
+        jax.jit(lambda p, w: model_pair.apply(p, w)), params_pair, windows
+    )
 
     # model decomposition: conv stack vs DFT self-CC vs head
     stack = _ConvStack(

@@ -29,6 +29,7 @@ def build_cccnn(
     channels: int = 4,
     cc_pairs: Optional[str] = None,
     cc_pair_lags: Optional[int] = None,
+    search_pairs: bool = False,
 ) -> CCCNN:
     """The reference's HPO-winning architecture skeleton (train.py:79-90):
     7 conv layers of width 5 with kernel schedule [1,33,64,15,15,15,1];
@@ -41,9 +42,18 @@ def build_cccnn(
 
     ``cc_pairs``/``cc_pair_lags`` additionally feed cross-channel pair-CC
     features to the head (see CCCNN.cc_pairs — the TDOA cue self-CC
-    features cannot carry).
+    features cannot carry).  ``search_pairs=True`` lets the trial choose
+    the pair mode itself (categorical over None/'adjacent'/'all').
     """
     dropout = trial.suggest_float("dropout", 0.0, 0.1) if trial else 0.0
+    if search_pairs and trial is not None:
+        cc_pairs = trial.suggest_categorical(
+            "cc_pairs", [None, "adjacent", "all"]
+        )
+        if cc_pairs is not None and cc_pair_lags is None:
+            # cover the physical TDOA range (drum diameter / c · sr) within
+            # the flagship stack's conv output length (V=133 at W=256)
+            cc_pair_lags = 112
     return CCCNN(
         output_size=2,
         channels=channels,
@@ -72,6 +82,7 @@ def run_location_hpo(
     seed: int = 0,
     mesh=None,
     sampler: str = "tpe",
+    search_pairs: bool = False,
 ) -> Study:
     """Full pipeline: MCPOSD load → hit-level train / val / test split →
     HPO study over CCCNN configs → best hp_metric (train.py:22-145).
@@ -94,7 +105,7 @@ def run_location_hpo(
     study = Study(seed=seed, sampler=sampler)
 
     def objective(trial: Trial) -> float:
-        model = build_cccnn(trial, channels)
+        model = build_cccnn(trial, channels, search_pairs=search_pairs)
         # adam: the head's dense gradients and the conv stack's differ by
         # ~2 orders of magnitude; uniform-LR SGD (the reference's LCCCNN
         # recipe, model.py:606-614) plateaus orders of magnitude higher

@@ -627,3 +627,25 @@ class TestExperimentEntry:
         )
         assert study.best_value >= 0
         assert "lr" in study.best_params
+
+    def test_build_cccnn_search_pairs(self):
+        """search_pairs=True lets the trial pick the pair-CC head mode;
+        when a pair mode is drawn the physical-lag crop defaults in (but
+        never exceeds the conv output length at the trained window)."""
+        from onset_fingerprinting_tpu.models.experiment import build_cccnn
+        from onset_fingerprinting_tpu.models.hpo import Study, Trial
+
+        study = Study(seed=0, sampler="random")
+        seen = set()
+        for i in range(12):
+            trial = Trial(
+                number=i, rng=np.random.default_rng(i), study=study
+            )
+            study.trials.append(trial)
+            m = build_cccnn(trial, channels=4, search_pairs=True)
+            assert trial.params["cc_pairs"] == m.cc_pairs
+            assert m.cc_pairs in (None, "adjacent", "all")
+            if m.cc_pairs is not None:
+                assert m.cc_pair_lags == 112
+            seen.add(m.cc_pairs)
+        assert len(seen) > 1  # the categorical is actually explored
