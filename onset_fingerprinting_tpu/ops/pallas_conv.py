@@ -41,7 +41,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 LANE = 128
+#: block-loop unroll factor for body='looped'.  Mosaic's fori_loop
+#: lowering supports only unroll=1 or full, so >1 is a MANUAL unroll —
+#: measured on v5e at the serving shape: unroll=1 compiles in ~54 s cold,
+#: unroll=2 re-explodes Mosaic compile to ~600 s (dynamic-offset access
+#: scheduling, not op count, is the cliff).  Keep 1.
+_UNROLL = int(_os.environ.get("OFPTPU_CONV_UNROLL", "1"))
+#: default kernel body (see conv_stack_fused's ``body`` param and the
+#: measured table in _stack_kernel's docstring): 'unrolled' is the serving
+#: choice — fastest steady state, with the cold-compile cost owned by the
+#: persistent compile cache and the bench's self-warming pass
+_DEFAULT_BODY = _os.environ.get("OFPTPU_CONV_BODY", "unrolled")
 #: leading zero rows in every activation buffer.  Must be >= the conv
 #: padding and a multiple of the bf16 sublane tile (16) so every
 #: time-block slice ``[t0 : t0 + S]`` starts tile-aligned regardless of
@@ -103,6 +116,10 @@ def _plan(
         # (_Z + tb + k - 1 - p) / k below ~2 for the big kernels while
         # M = O*tb stays a few sublane tiles
         tb = block_positions or (32 if k > 48 else 16)
+        if tb % _ALIGN:
+            raise ValueError(
+                f"block_positions must be a multiple of {_ALIGN}, got {tb}"
+            )
         n_blk = -(-t_out // tb)
         s_pad = _rnd(_Z + tb + k - 1 - padding, _ALIGN)
         layers.append(
@@ -160,7 +177,14 @@ def _pack_band(w: jnp.ndarray, lp: _Layer, dtype) -> jnp.ndarray:
     return band.astype(dtype)
 
 
-def _stack_kernel(layers, in_buf, act, store_dtype, precision, *refs):
+# Fully-unrolled kernel body: every banded matmul is a separate static op
+# and all activations live as SSA values (vector registers / Mosaic-managed
+# VMEM) — the FASTEST steady-state form (no dynamic-offset loads/stores),
+# but Mosaic compile time grows superlinearly with the block count: the
+# flagship stack at tb=16/32 is ~75 blocks -> 350-540 s first-ever compile.
+# Larger tb (block_positions) trades band-FLOP inflation for fewer blocks
+# and a far smaller program.  Selected via body='unrolled'.
+def _stack_kernel_unrolled(layers, in_buf, act, store_dtype, precision, *refs):
     x_ref = refs[0]
     out_ref = refs[-1]
     bt = x_ref.shape[1]
@@ -222,6 +246,128 @@ def _stack_kernel(layers, in_buf, act, store_dtype, precision, *refs):
         out_ref[f] = acts[f][_Z : _Z + last.t_out, :].astype(out_ref.dtype)
 
 
+def _stack_kernel(layers, in_buf, act, store_dtype, precision, *refs):
+    """Whole-stack kernel body: two ping-pong VMEM activation scratch
+    buffers, one ``lax.fori_loop`` over the banded matmul blocks per layer.
+
+    This is the FAST-COMPILE body ('looped'): the Mosaic program holds one
+    matmul per layer, so the first-ever compile is ~1 min at the serving
+    configuration vs 350-540 s for the fully-unrolled body.  Measured
+    tradeoffs on v5e at the 131k-signal serving batch (r5 sweep):
+
+    ==========================  ============  ===========
+    body                        cold compile  steady state
+    ==========================  ============  ===========
+    'unrolled' (tb=16/32 mix)   350-540 s     7.3 ms
+    'unrolled' tb=32            >1200 s       (n/a)
+    'looped' unroll=1 (this)    ~54 s         ~30 ms
+    'looped' manual unroll 2-8  ~470-600 s    ~27-30 ms
+    'looped', tiled 4D scratch  ~556 s        ~30 ms
+    ==========================  ============  ===========
+
+    The pathology is Mosaic's scheduling of dynamic-offset VMEM access:
+    ANY second dynamic store per loop body (manual unroll=2) or a 4-D
+    tile-dim relayout re-explodes compile; and the rolled loop's
+    per-iteration load/store round trips keep the MXU ~12% busy vs the
+    unrolled body's register-resident activations at ~50%.  Serving uses
+    'unrolled' behind a persistent compile cache; this body exists for
+    cold-cache-sensitive contexts (value-identical, golden-tested).
+    """
+    n_layers = len(layers)
+    x_ref = refs[0]
+    out_ref = refs[1 + 2 * n_layers]
+    scratch = (refs[2 + 2 * n_layers], refs[3 + 2 * n_layers])
+    bt = x_ref.shape[1]
+    t0_len = x_ref.shape[0]
+
+    # zero both scratch buffers ONCE (head rows [0, _Z) are never written
+    # again; stale inter-layer tails are re-zeroed per layer below)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        scratch[0][...] = jnp.zeros_like(scratch[0])
+        scratch[1][...] = jnp.zeros_like(scratch[1])
+
+    # input activations: feature 0 of buffer 0, offset by the _Z zero head
+    scratch[0][0, _Z : _Z + t0_len, :] = x_ref[:].astype(store_dtype)
+    if in_buf > _Z + t0_len:
+        # the first layer's aligned slices may read past the input's end;
+        # buffer 0 is reused by even layers whose writes can reach into
+        # that tail (padding-growing stacks), so re-zero it every step
+        scratch[0][0, _Z + t0_len : in_buf, :] = jnp.zeros(
+            (in_buf - _Z - t0_len, bt), store_dtype
+        )
+
+    for li, lp in enumerate(layers):
+        prev = scratch[li % 2]
+        nxt = scratch[(li + 1) % 2]
+        band = refs[1 + 2 * li][:]  # [O*TB, I*S]
+        bias = refs[2 + 2 * li][:]  # [O*TB, 1] f32
+        # rows the consumer may read beyond this layer's writes must be
+        # zero; the buffer is reused layer-to-layer (and holds the raw
+        # input on its first reuse), so re-zero the tail each time
+        write_end = _Z + lp.n_blk * lp.tb
+        if lp.buf_len > write_end:
+            nxt[:, write_end : lp.buf_len, :] = jnp.zeros(
+                (nxt.shape[0], lp.buf_len - write_end, bt), store_dtype
+            )
+        tau = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (lp.out_feat * lp.tb, 1), 0
+            )
+            % lp.tb
+        )
+
+        def block(b, lp=lp, prev=prev, nxt=nxt, band=band, bias=bias,
+                  tau=tau):
+            t0 = b * lp.tb
+            rhs = jnp.concatenate(
+                [
+                    prev[i, pl.ds(t0, lp.s_pad), :]
+                    for i in range(lp.in_feat)
+                ],
+                axis=0,
+            )
+            # TPU matmuls default to ONE bf16 pass even for f32 inputs;
+            # f32 storage (golden-test mode) needs the 3-pass HIGHEST to
+            # actually be float32-accurate.  bf16 storage carries bf16
+            # error anyway — one pass.
+            o = jax.lax.dot_general(
+                band, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            o = act(o + bias)
+            # partial last block: rows beyond t_out would write act(bias)
+            # garbage into the next layer's zero tail
+            o = jnp.where(t0 + tau < lp.t_out, o, 0.0)
+            o = o.astype(store_dtype)
+            for f in range(lp.out_feat):
+                nxt[f, pl.ds(_Z + t0, lp.tb), :] = (
+                    o[f * lp.tb : (f + 1) * lp.tb, :]
+                )
+
+        # MANUAL partial unroll (Mosaic's fori_loop lowering supports only
+        # unroll=1 or full): measured on v5e, any unroll > 1 re-explodes
+        # Mosaic compile to ~500-600 s for ~10% steady-state gain — the
+        # default stays 1; remainder blocks run as an unrolled epilogue
+        u = max(min(_UNROLL, lp.n_blk), 1)
+        n_main = lp.n_blk // u
+
+        def body(i, carry, u=u, block=block):
+            for j in range(u):
+                block(i * u + j)
+            return carry
+
+        if n_main:
+            jax.lax.fori_loop(0, n_main, body, 0)
+        for b in range(n_main * u, lp.n_blk):
+            block(b)
+    last = layers[-1]
+    final = scratch[n_layers % 2]
+    for f in range(last.out_feat):
+        out_ref[f] = final[f, _Z : _Z + last.t_out, :].astype(out_ref.dtype)
+
+
 def _stack_reference(x, weights, biases, padding, activation, compute_dtype):
     """Pure-XLA forward of the same stack (conv chain) — the backward
     pass differentiates THIS, so training through the fused kernel gets
@@ -251,6 +397,7 @@ def conv_stack_fused(
     block_positions: int | None = None,
     matmul_precision: jax.lax.Precision | None = None,
     interpret: bool | None = None,
+    body: str | None = None,
 ) -> jnp.ndarray:
     """Run a whole stride-1 conv stack as one fused Pallas kernel.
 
@@ -274,6 +421,11 @@ def conv_stack_fused(
         (default: HIGHEST for float32 storage, DEFAULT for bf16)
     :param interpret: force Pallas interpret mode; ``None`` = interpret
         off TPU (the hermetic-CPU test configuration)
+    :param body: kernel body structure — 'looped' (fori_loop over blocks,
+        VMEM scratch ping-pong: compiles in seconds) or 'unrolled' (every
+        block a static op, activations in registers: fastest steady state,
+        Mosaic compile grows superlinearly with block count).  ``None`` =
+        ``OFPTPU_CONV_BODY`` env or the measured default (module docs)
     :returns: ``[B, T_out, O_last]`` float32 feature maps, identical (to
         dtype tolerance) to chaining ``nn.Conv`` + activation per layer
 
@@ -291,17 +443,21 @@ def conv_stack_fused(
     # validate the plan eagerly (padding bound, kernel-vs-length) so the
     # error surfaces at the public boundary, not inside the vjp wrapper
     _plan(x.shape[1], shapes, padding, block_positions)
+    if body is None:
+        body = _DEFAULT_BODY
+    if body not in ("looped", "unrolled"):
+        raise ValueError(f"body must be 'looped' or 'unrolled', got {body!r}")
     return _fused(
         x, tuple(weights), tuple(biases), padding, activation,
         compute_dtype, block_lanes, block_positions, matmul_precision,
-        interpret,
+        interpret, body,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _fused(
     x, weights, biases, padding, activation, compute_dtype, block_lanes,
-    block_positions, matmul_precision, interpret,
+    block_positions, matmul_precision, interpret, body="looped",
 ):
     b_n, length = x.shape
     shapes = [tuple(w.shape) for w in weights]
@@ -319,7 +475,7 @@ def _fused(
     band_dtype = compute_dtype
     ins = [xt]
     in_specs = [
-        pl.BlockSpec((length, bt), lambda j: (0, j),
+        pl.BlockSpec((xt.shape[0], bt), lambda j: (0, j),
                      memory_space=pltpu.VMEM)
     ]
     for lp, w, b in zip(layers, weights, biases):
@@ -350,9 +506,23 @@ def _fused(
             if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT
         )
+    if body == "unrolled":
+        kern = _stack_kernel_unrolled
+        scratch = []
+    else:
+        kern = _stack_kernel
+        max_feat = max(max(lp.out_feat, lp.in_feat) for lp in layers)
+        max_buf = max(in_buf, max(lp.buf_len for lp in layers))
+        scratch = [
+            # ping-pong activation buffers — every layer's input and
+            # output stay VMEM-resident; HBM sees one read of x and one
+            # write of the final feature maps
+            pltpu.VMEM((max_feat, max_buf, bt), compute_dtype),
+            pltpu.VMEM((max_feat, max_buf, bt), compute_dtype),
+        ]
     out = pl.pallas_call(
         partial(
-            _stack_kernel, layers, in_buf, act, compute_dtype,
+            kern, layers, in_buf, act, compute_dtype,
             matmul_precision,
         ),
         grid=(n_pad // bt,),
@@ -364,6 +534,7 @@ def _fused(
         out_shape=jax.ShapeDtypeStruct(
             (last.out_feat, last.t_out, n_pad), jnp.float32
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*ins)
     # [O, T, B] -> [B, T, O]; XLA fuses this transpose into the consumer
@@ -372,18 +543,18 @@ def _fused(
 
 def _fused_fwd(
     x, weights, biases, padding, activation, compute_dtype, block_lanes,
-    block_positions, matmul_precision, interpret,
+    block_positions, matmul_precision, interpret, body="looped",
 ):
     out = _fused(
         x, weights, biases, padding, activation, compute_dtype,
-        block_lanes, block_positions, matmul_precision, interpret,
+        block_lanes, block_positions, matmul_precision, interpret, body,
     )
     return out, (x, weights, biases)
 
 
 def _fused_bwd(
     padding, activation, compute_dtype, block_lanes, block_positions,
-    matmul_precision, interpret, residuals, g,
+    matmul_precision, interpret, body, residuals, g,
 ):
     x, weights, biases = residuals
     _, vjp = jax.vjp(

@@ -84,6 +84,31 @@ def test_matches_xla_conv_chain(
     )
 
 
+@pytest.mark.parametrize("body", ["unrolled", "looped"])
+def test_body_knob_is_value_neutral(body):
+    """Both kernel bodies — 'unrolled' (register-resident, serving) and
+    'looped' (fori_loop + VMEM scratch ping-pong, ~1 min cold compile vs
+    350-540 s) — compute the identical stack (r5 compile-cliff work)."""
+    ws, bs = make_stack(FLAGSHIP_KS, (5,) * 7)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(9, 256)).astype(np.float32))
+    g = golden_stack(x, ws, bs, 1, "silu")
+    out = conv_stack_fused(
+        x, ws, bs, padding=1, compute_dtype=jnp.float32,
+        block_lanes=128, body=body, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(g), atol=5e-4, rtol=1e-4
+    )
+
+
+def test_body_validation():
+    ws, bs = make_stack((3,), (4,))
+    with pytest.raises(ValueError, match="body"):
+        conv_stack_fused(jnp.zeros((8, 32)), ws, bs, body="rolled",
+                         interpret=True)
+
+
 @pytest.mark.parametrize("tb", [16, 32, 64])
 def test_block_positions_knob_is_value_neutral(tb):
     ws, bs = make_stack(FLAGSHIP_KS, (5,) * 7)
