@@ -24,7 +24,15 @@ Env knobs:
                           kernel) or "conv" (XLA conv).  Unset → pallas when
                           the cache's warm sentinel exists, else conv (the
                           cold-cache guard: first-ever Mosaic compile of the
-                          fused stack is 350-540 s)
+                          fused stack is 350-540 s) FOLLOWED by an in-process
+                          self-warm: the conv-fallback measurement is banked
+                          as a safety artifact, the fused stack is compiled
+                          once (affordable once per cache lifetime), and the
+                          headline is re-measured fused — so a cold cache
+                          delays the result but never degrades it
+    OFPTPU_BENCH_SELF_WARM "0" → keep the conv fallback as the headline on a
+                          cold cache instead of paying the one-time fused
+                          compile in-process (the r4 behavior)
     OFPTPU_BENCH_ANCHORED "0" → legacy block-aligned fingerprint windows
                           (default "1": sample-anchored, onset at index PRE)
     OFPTPU_COMPILE_CACHE  persistent compile cache dir (default .jax_cache)
@@ -209,7 +217,8 @@ def mark_conv_stack_warm() -> None:
 
 def make_fingerprinter(n_streams: int, block_size: int,
                        max_hits: int = MAX_HITS,
-                       global_capacity: int | None = None):
+                       global_capacity: int | None = None,
+                       conv_impl: str | None = None):
     """Jitted detect-output → coordinates stage.
 
     Converts the detector's dense per-block events into onset sample
@@ -253,7 +262,8 @@ def make_fingerprinter(n_streams: int, block_size: int,
         # fused whole-stack Pallas conv (ops/pallas_conv.py): measured
         # 23.3 -> ~7 ms at the serving batch vs XLA's few-feature conv;
         # pick_conv_impl falls back to XLA conv on a cold compile cache
-        conv_impl=pick_conv_impl(),
+        # (main() then self-warms the kernel and re-measures fused)
+        conv_impl=conv_impl or pick_conv_impl(),
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, cps, WINDOW), jnp.float32)
@@ -308,7 +318,8 @@ def make_fingerprinter(n_streams: int, block_size: int,
     return params, fingerprint
 
 
-def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
+def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1,
+                conv_impl: str | None = None):
     """Measure detect→fingerprint at one channel width.  Returns a dict of
     timings (seconds per 1 s of audio per stage, median over n_iter).
 
@@ -376,8 +387,9 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     global_capacity = -(-(n_streams * exp_per_stream * 4 // 3) // 128) * 128
     if os.environ.get("OFPTPU_BENCH_COMPACT", "1") != "1":
         global_capacity = None
+    conv_impl = conv_impl or pick_conv_impl()
     fp_params, fingerprint = make_fingerprinter(
-        n_streams, cfg.block_size, max_hits, global_capacity
+        n_streams, cfg.block_size, max_hits, global_capacity, conv_impl
     )
     if global_capacity is not None:
         log(
@@ -442,7 +454,7 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     preds, n_hits, n_dropped = fingerprint(fp_params, xd, on, d)
     _ = float(jnp.sum(preds))
     t_fp_compile = time.perf_counter() - t0
-    if pick_conv_impl() == "pallas":
+    if conv_impl == "pallas":
         # the fused stack compiled into this cache — subsequent cold-cache
         # guard decisions can safely pick it
         mark_conv_stack_warm()
@@ -563,6 +575,7 @@ def bench_width(n_streams: int, n_iter: int = 10, chunks: int = 1):
     )
     return {
         "path": path,
+        "conv_impl": conv_impl,
         "n_streams": n_streams,
         "c": c,
         "chunks": chunks,
@@ -658,6 +671,49 @@ def main() -> int:
         )
         n_streams, chunks = 2048, 1
         r = bench_width(n_streams, chunks=chunks)
+
+    # -- cold-cache self-warm (VERDICT r4 #1) --------------------------------
+    # A cold cache picked conv_impl='conv' above so a measurement exists
+    # within seconds (banked below as the crash-safety number).  Now pay the
+    # fused stack's one-time Mosaic compile IN-PROCESS — ~1-9 min depending
+    # on body (see ops/pallas_conv.py's measured table), once per cache
+    # lifetime — and re-measure so the artifact of record carries the fused
+    # headline, not the ~3x-slower fingerprint fallback.  No operator action
+    # required; OFPTPU_BENCH_SELF_WARM=0 restores the r4 fallback-only run.
+    fallback = None
+    if (
+        r.get("conv_impl") == "conv"
+        and not os.environ.get("OFPTPU_BENCH_CONV")
+        and os.environ.get("OFPTPU_BENCH_SELF_WARM", "1") == "1"
+    ):
+        fb_rt = n_streams / (r["total_ms_median"] / 1e3)
+        log(
+            f"conv-fallback measurement banked ({fb_rt:.0f}x realtime); "
+            "self-warming the fused Pallas conv stack (one-time Mosaic "
+            "compile, 350-540 s first-ever) and re-measuring fused..."
+        )
+        try:
+            t0 = time.perf_counter()
+            r_fused = bench_width(n_streams, chunks=chunks,
+                                  conv_impl="pallas")
+            log(
+                f"self-warm complete in {time.perf_counter() - t0:.0f} s "
+                "(compile + re-measure); fused stack is now in the "
+                "persistent cache — future runs skip this step"
+            )
+            fallback = {
+                "conv_fallback_realtime_factor": round(fb_rt, 1),
+                "conv_fallback_fingerprint_ms": round(
+                    r["fingerprint_ms"], 2
+                ),
+            }
+            r = r_fused
+        except Exception as e:  # pragma: no cover - keep the banked number
+            log(
+                f"self-warm failed ({type(e).__name__}: {e}); keeping the "
+                "banked conv-fallback measurement as the headline"
+            )
+
     rt_factor = n_streams / (r["total_ms_median"] / 1e3)
     rt_detect = n_streams / (r["detect_ms"] / 1e3)
     log(
@@ -698,6 +754,8 @@ def main() -> int:
                 "detect_cycles_per_sample": r["detect_cycles_per_sample"],
                 "detect_pct_sol": r["detect_pct_sol"],
                 "fingerprint_mxu_util": r["fingerprint_mxu_util"],
+                "conv_impl": r.get("conv_impl", "conv"),
+                **(fallback or {}),
             }
         )
     )
