@@ -24,12 +24,29 @@ from onset_fingerprinting_tpu.models.hpo import Study, Trial, TrialPruned
 from onset_fingerprinting_tpu.models.train import Trainer, make_optimizer
 
 
+#: the flagship conv schedule (reference train.py:79-90)
+FLAGSHIP_KERNELS = (1, 33, 64, 15, 15, 15, 1)
+FLAGSHIP_PADDING = 1
+
+
+def flagship_conv_output_length(w: int) -> int:
+    """Conv-stack output length V for a window of ``w`` samples: each
+    stride-1 layer maps ``t -> t + 2*padding - k + 1``.  V=133 at w=256."""
+    v = w
+    for k in FLAGSHIP_KERNELS:
+        # XLA clamps a too-short conv to a 0-length output (flax nn.Conv
+        # semantics) rather than erroring — mirror that here
+        v = max(v + 2 * FLAGSHIP_PADDING - k + 1, 0)
+    return v
+
+
 def build_cccnn(
     trial: Optional[Trial] = None,
     channels: int = 4,
     cc_pairs: Optional[str] = None,
     cc_pair_lags: Optional[int] = None,
     search_pairs: bool = False,
+    w: int = 256,
 ) -> CCCNN:
     """The reference's HPO-winning architecture skeleton (train.py:79-90):
     7 conv layers of width 5 with kernel schedule [1,33,64,15,15,15,1];
@@ -50,15 +67,24 @@ def build_cccnn(
         cc_pairs = trial.suggest_categorical(
             "cc_pairs", [None, "adjacent", "all"]
         )
-        if cc_pairs is not None and cc_pair_lags is None:
-            # cover the physical TDOA range (drum diameter / c · sr) within
-            # the flagship stack's conv output length (V=133 at W=256)
-            cc_pair_lags = 112
+    if cc_pairs is not None:
+        v = flagship_conv_output_length(w)
+        if v < 2:
+            # the window is too short for the flagship stack to emit any
+            # feature positions — pair CC has nothing to correlate; fall
+            # back to the self-CC head instead of crashing the study
+            cc_pairs = None
+            cc_pair_lags = None
+        elif cc_pair_lags is None:
+            # cover the physical TDOA range (drum diameter / c · sr ≈ 112
+            # lags at 96 kHz), clamped inside the conv output length for
+            # the configured window — CCCNN requires cc_pair_lags < V
+            cc_pair_lags = min(112, v - 1)
     return CCCNN(
         output_size=2,
         channels=channels,
         layer_sizes=[5] * 7,
-        kernel_sizes=[1, 33, 64, 15, 15, 15, 1],
+        kernel_sizes=list(FLAGSHIP_KERNELS),
         dropout_rate=dropout,
         batch_norm=True,
         group=False,
@@ -105,7 +131,9 @@ def run_location_hpo(
     study = Study(seed=seed, sampler=sampler)
 
     def objective(trial: Trial) -> float:
-        model = build_cccnn(trial, channels, search_pairs=search_pairs)
+        model = build_cccnn(
+            trial, channels, search_pairs=search_pairs, w=w
+        )
         # adam: the head's dense gradients and the conv stack's differ by
         # ~2 orders of magnitude; uniform-LR SGD (the reference's LCCCNN
         # recipe, model.py:606-614) plateaus orders of magnitude higher

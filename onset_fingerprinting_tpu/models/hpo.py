@@ -21,6 +21,13 @@ from typing import Callable, Optional
 
 import numpy as np
 
+#: sampler abstention sentinel: distinguishes "TPE has no opinion, draw
+#: uniformly" from a deliberate TPE selection of the value ``None`` (a
+#: legitimate categorical arm, e.g. cc_pairs=None in the pair-CC search —
+#: returning None itself silently re-randomized that arm and biased the
+#: study against it)
+_ABSTAIN = object()
+
 
 class TrialPruned(Exception):
     """Raised by objectives that honor pruning."""
@@ -99,7 +106,7 @@ class Trial:
 
     def suggest_int(self, name: str, low: int, high: int, log: bool = False) -> int:
         v = self.study._suggest_numeric(self.rng, name, low, high, log)
-        if v is None:
+        if v is _ABSTAIN:
             if log:
                 v = math.exp(self.rng.uniform(math.log(low), math.log(high)))
             else:
@@ -112,7 +119,7 @@ class Trial:
         self, name: str, low: float, high: float, log: bool = False
     ) -> float:
         v = self.study._suggest_numeric(self.rng, name, low, high, log)
-        if v is None:
+        if v is _ABSTAIN:
             if log:
                 v = np.exp(self.rng.uniform(np.log(low), np.log(high)))
             else:
@@ -122,7 +129,7 @@ class Trial:
 
     def suggest_categorical(self, name: str, choices: list):
         v = self.study._suggest_categorical(self.rng, name, choices)
-        if v is None:
+        if v is _ABSTAIN:
             v = choices[int(self.rng.integers(len(choices)))]
         self.params[name] = v
         return v
@@ -208,17 +215,17 @@ class Study:
     def _suggest_numeric(
         self, rng: np.random.Generator, name: str,
         low: float, high: float, log: bool,
-    ) -> Optional[float]:
-        """TPE proposal in the (possibly log-) transformed domain, or None to
-        fall back to random sampling."""
+    ) -> object:
+        """TPE proposal in the (possibly log-) transformed domain, or
+        ``_ABSTAIN`` to fall back to random sampling."""
         if self.sampler != "tpe":
-            return None
+            return _ABSTAIN
         obs = self._observations(name)
         if len(obs) < self.n_startup_trials:
-            return None
+            return _ABSTAIN
         good, bad = self._split(obs)
         if len(bad) == 0:
-            return None
+            return _ABSTAIN
         tf = math.log if log else float
         lo, hi = tf(low), tf(high)
         l_est = _ParzenMixture(np.array([tf(v) for v in good]), lo, hi)
@@ -229,15 +236,15 @@ class Study:
 
     def _suggest_categorical(
         self, rng: np.random.Generator, name: str, choices: list
-    ) -> Optional[object]:
+    ) -> object:
         if self.sampler != "tpe":
-            return None
+            return _ABSTAIN
         obs = self._observations(name)
         if len(obs) < self.n_startup_trials:
-            return None
+            return _ABSTAIN
         good, bad = self._split(obs)
         if len(bad) == 0:
-            return None
+            return _ABSTAIN
 
         def weights(group):
             # Dirichlet-smoothed counts (prior weight 1 per choice).

@@ -312,6 +312,39 @@ class TestHPO:
         study.optimize(objective, n_trials=25)
         assert study.best_value < 0.15
 
+    def test_tpe_exploits_none_categorical_arm(self):
+        """ADVICE r4 (medium): ``None`` is a legitimate categorical arm
+        (cc_pairs=None in the pair-CC search) — the sampler must be able
+        to EXPLOIT it.  Before the _ABSTAIN sentinel, a deliberate TPE
+        selection of None was indistinguishable from abstention and got
+        replaced by a uniform redraw, biasing the study against that arm."""
+        study = Study(seed=3, sampler="tpe")
+
+        def objective(trial):
+            cc = trial.suggest_categorical("cc", [None, "adjacent", "all"])
+            return {None: 0.0, "adjacent": 1.0, "all": 1.0}[cc]
+
+        study.optimize(objective, n_trials=30)
+        assert study.best_params["cc"] is None
+        tail = [t.params["cc"] for t in study.results[-10:]]
+        # with the bug the tail is ~uniform (~3-4 None of 10); fixed TPE
+        # concentrates almost entirely on the winning arm
+        assert tail.count(None) >= 7, tail
+
+    def test_tpe_categorical_abstention_still_randomizes(self):
+        """The random fallback itself must still work: with sampler='random'
+        every arm (including None) keeps being drawn."""
+        study = Study(seed=0, sampler="random")
+
+        def objective(trial):
+            return 0.0 if trial.suggest_categorical(
+                "cc", [None, "a"]
+            ) is None else 1.0
+
+        study.optimize(objective, n_trials=16)
+        drawn = {t.params["cc"] for t in study.results}
+        assert drawn == {None, "a"}
+
 
 class TestClassification:
     def test_zone_classifier_trains(self):
@@ -649,3 +682,31 @@ class TestExperimentEntry:
                 assert m.cc_pair_lags == 112
             seen.add(m.cc_pairs)
         assert len(seen) > 1  # the categorical is actually explored
+
+    def test_cc_pair_lags_derived_from_window(self):
+        """ADVICE r4 (low): the physical-lag crop must be derived from the
+        conv output length of the CONFIGURED window, not hardcoded for
+        w=256 — a smaller w would otherwise raise inside CCCNN and crash
+        the study (ValueError is not in optimize's catch set)."""
+        from onset_fingerprinting_tpu.models.experiment import (
+            build_cccnn,
+            flagship_conv_output_length,
+        )
+
+        assert flagship_conv_output_length(256) == 133
+        m = build_cccnn(None, channels=4, cc_pairs="adjacent", w=256)
+        assert m.cc_pair_lags == 112
+        # short window: V = 140 - 123 = 17 → crop clamps to V - 1
+        m = build_cccnn(None, channels=4, cc_pairs="adjacent", w=140)
+        assert m.cc_pair_lags == flagship_conv_output_length(140) - 1 == 16
+        x = jnp.zeros((2, 4, 140))
+        p = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(p, x).shape == (2, 2)
+        # near-degenerate window: the stack collapses to 0-length mid-way
+        # and regrows to V=2 from padding (flax clamp-to-zero semantics,
+        # verified against the real model) — the crop still fits
+        m = build_cccnn(None, channels=4, cc_pairs="adjacent", w=64)
+        assert m.cc_pair_lags == flagship_conv_output_length(64) - 1 == 1
+        x = jnp.zeros((2, 4, 64))
+        p = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(p, x).shape == (2, 2)
