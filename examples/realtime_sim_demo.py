@@ -250,6 +250,25 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # event-struct readback, MEASURED (VERDICT r4 #5: no assumed constant):
+    # the harvest hop above costs one transport round trip PLUS the
+    # marginal cost of moving/packing the event struct itself.  The
+    # transport-independent part — what a locally-attached chip would pay
+    # on top of its own (sub-0.1 ms) round trip — is the harvest readback
+    # minus the same transport's no-op scalar sync.  Median of 20 each.
+    noop = jax.jit(lambda v: v + 1.0)
+    _ = float(noop(jnp.float32(0.0)))  # compile
+    rtt_samples = []
+    for _i in range(20):
+        t0 = time.monotonic()
+        _ = float(noop(jnp.float32(0.0)))
+        rtt_samples.append(time.monotonic() - t0)
+    rtt_ms = 1e3 * float(np.median(rtt_samples))
+    readback_ms = max(floor_ms - rtt_ms, 0.0)
+    print(f"event-struct readback (measured): harvest {floor_ms:.3f} ms "
+          f"- no-op sync {rtt_ms:.3f} ms = {readback_ms:.3f} ms marginal",
+          flush=True)
+
     K = 768  # ~1 s of blocks
     blocks = jnp.asarray(
         np.tile(audio[: K * 128].reshape(K, 128, 3), (1, 1, 1))
@@ -272,8 +291,8 @@ def main():
     step_ms = ((time.monotonic() - t0) - floor_ms / 1e3) * 1e3 / K
     print(f"device exec per block (scanned, transport-free): "
           f"{step_ms:.3f} ms (realtime budget {128 / SR * 1e3:.3f} ms); "
-          f"locally-attached per-hit estimate ≈ {step_ms:.3f} + ~0.2 ms "
-          f"readback", flush=True)
+          f"locally-attached per-hit estimate ≈ {step_ms:.3f} + "
+          f"{readback_ms:.3f} ms measured event readback", flush=True)
 
     located = []  # (onset, Location, t_harvest)
     located_lock = threading.Lock()
@@ -448,14 +467,16 @@ def main():
 
     # north star (BASELINE.md): <1 ms p50 per-hit localize on the
     # DEPLOYMENT transport (locally-attached chip).  The per-hit span
-    # there = the completing block's fused step + one local readback
-    # (~0.2 ms); gate the measured device per-block cost.  Skipped on
-    # --cpu (the CPU backend shares host cores with the audio threads —
-    # not the deployment target).
+    # there = the completing block's fused step + one event-struct
+    # readback — the readback term is MEASURED above (harvest hop minus
+    # the transport's no-op sync), not assumed.  Skipped on --cpu (the
+    # CPU backend shares host cores with the audio threads — not the
+    # deployment target).
     if not args.cpu and not args.fast:
-        est = step_ms + 0.2
+        est = step_ms + readback_ms
         print(f"north-star estimate (locally-attached): "
-              f"{est:.3f} ms per-hit localize")
+              f"{est:.3f} ms per-hit localize "
+              f"({step_ms:.3f} step + {readback_ms:.3f} measured readback)")
         if est >= 1.0:
             print(f"FAIL: locally-attached per-hit estimate {est:.3f} ms "
                   f">= 1 ms (device per-block cost {step_ms:.3f} ms)")
@@ -489,11 +510,18 @@ def main():
           f"({zone_acc:.2f})")
     print(f"fx cutoff now {fx.parameters['cutoff'].raw_value:.3f}")
 
-    if len(errs) < 0.95 * len(hits):
-        print(f"FAIL: located {len(errs)}/{len(hits)} < 95%")
+    # accuracy gates sit NEAR measured ability (VERDICT r4 #6): on TPU the
+    # soak measures 239/239 located at 0.03 cm median, so gate ≥99% /
+    # ≤0.2 cm — a locator regression to even 0.3 cm now fails loudly.  The
+    # CPU smoke keeps looser bounds: its "device" shares host cores with
+    # the producer/harvester threads, so scheduler stalls can clip bursts
+    # mid-window and cost both hits and precision.
+    min_frac, med_cm = (0.95, 1.0) if args.cpu else (0.99, 0.2)
+    if len(errs) < min_frac * len(hits):
+        print(f"FAIL: located {len(errs)}/{len(hits)} < {min_frac:.0%}")
         ok = False
-    if not (med <= 1.0):
-        print(f"FAIL: median error {med:.2f} cm > 1 cm")
+    if not (med <= med_cm):
+        print(f"FAIL: median error {med:.2f} cm > {med_cm} cm")
         ok = False
     if zone_total and zone_acc < 0.8:
         print(f"FAIL: zone accuracy {zone_acc:.2f} < 0.8")
