@@ -103,6 +103,14 @@ def main():
     ap.add_argument("--hits", type=int, default=48)
     ap.add_argument("--fixture", choices=("modal", "airlag"),
                     default="modal")
+    ap.add_argument("--sampler", choices=("tpe", "random"), default="tpe",
+                    help="study sampler (reference: optuna TPESampler, "
+                    "train.py:130-145)")
+    ap.add_argument("--search-pairs", action="store_true",
+                    help="include the cross-channel pair-CC head "
+                    "(cc_pairs in {None, adjacent, all}) in the search "
+                    "space")
+    ap.add_argument("--subsample", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -121,7 +129,9 @@ def main():
             folder, "combined0", w=256, channels=4, pre_samples=8,
             n_trials=args.trials, num_epochs=args.epochs,
             min_epochs=args.min_epochs,
-            patience=args.patience or args.epochs, subsample=1,
+            patience=args.patience or args.epochs,
+            subsample=args.subsample,
+            sampler=args.sampler, search_pairs=args.search_pairs,
         )
         el = time.perf_counter() - t0
     print(f"{args.trials} trials x {args.epochs} epochs in {el:.1f}s")
