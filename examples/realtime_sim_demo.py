@@ -216,10 +216,17 @@ def main():
     model, variables = train_zone_classifier()
 
     # Pallas per-block detector on TPU (~4x faster block step than the
-    # XLA-scan path); scan path on CPU (kernels need interpret mode there)
+    # XLA-scan path); scan path on CPU (kernels need interpret mode there).
+    # Capacity is sized to the TRANSPORT'S stall horizon: the tunnel shows
+    # multi-second hiccups (measured p99 harvest stall ~8.5 s), so the
+    # audio ring must retain >8.5 s for late classification to read the
+    # hit's real window (16 s, ~18 MB HBM), and the device event queue
+    # must absorb the backlog (512 slots >> 4 hits/s × stall).  With the
+    # 2 s / 64-slot defaults a single 8.5 s stall silently misclassified
+    # ~50 hits from overwritten ring audio and overflowed the queue.
     engine = RealtimeEngine(
         cfg, locator, actions=actions, use_pallas=not args.cpu,
-        metrics=Metrics(),
+        metrics=Metrics(), ring_seconds=16.0, event_queue=512,
     )
     engine.attach_classifier(model, variables, window=CLS_WINDOW,
                              pre=CLS_PRE, capacity=16)
@@ -338,8 +345,14 @@ def main():
                 continue
             preds = engine.classify_hits([(o, l) for o, l, _ in pending])
             t_done = time.monotonic()
-            for (onset, _, _), p in zip(pending, preds):
-                cls_results.append((onset, int(np.argmax(p)), t_done))
+            # stale rows (audio overwritten before classification — see
+            # engine.classify_stale) carry zeroed predictions; skip them
+            # rather than score garbage
+            for (onset, _, _), p, fr in zip(
+                pending, preds, engine.last_classify_fresh
+            ):
+                if fr:
+                    cls_results.append((onset, int(np.argmax(p)), t_done))
             done += len(pending)
 
     # pipelined dispatch: the audio thread only enqueues (µs, deterministic);
@@ -490,10 +503,10 @@ def main():
     # north star (BASELINE.md): <1 ms p50 per-hit localize on the
     # DEPLOYMENT transport (locally-attached chip).  The per-hit span
     # there = the completing block's fused step + one event-struct
-    # readback — the readback term is MEASURED above (harvest hop minus
-    # the transport's no-op sync), not assumed.  Skipped on --cpu (the
-    # CPU backend shares host cores with the audio threads — not the
-    # deployment target).
+    # readback — the readback term is MEASURED above (the event-pack
+    # program's device execution, transport-free), not assumed.  Skipped
+    # on --cpu (the CPU backend shares host cores with the audio threads
+    # — not the deployment target).
     if not args.cpu and not args.fast:
         est = step_ms + readback_ms
         print(f"north-star estimate (locally-attached): "
@@ -529,7 +542,8 @@ def main():
     zone_acc = zone_hits / max(zone_total, 1)
     print(f"matched {len(errs)}/{len(hits)} hits, median err {med:.2f} cm")
     print(f"zone classifier: {zone_hits}/{zone_total} correct "
-          f"({zone_acc:.2f})")
+          f"({zone_acc:.2f}); {engine.classify_stale} stale "
+          f"(ring-overwritten) classification(s)")
     print(f"fx cutoff now {fx.parameters['cutoff'].raw_value:.3f}")
 
     # accuracy gates sit NEAR measured ability (VERDICT r4 #6): on TPU the

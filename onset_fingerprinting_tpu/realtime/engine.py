@@ -119,7 +119,12 @@ def make_classify_fn(
     so the classify cost never touches the 1.333 ms block budget.
 
     Returns ``classify(ring, onsets [capacity] i32 absolute, valid
-    [capacity] bool) -> preds [capacity, out]`` (zero-masked).
+    [capacity] bool) -> (preds [capacity, out], fresh [capacity] bool)``.
+    ``preds`` is zero-masked where not valid OR not fresh; ``fresh`` is
+    False where the hit's window start has already been overwritten in
+    the ring (the harvest→classify path stalled longer than the ring's
+    history).  A stale hit must never be silently classified from the
+    wrong audio — the caller counts and flags these.
 
     Requires ``window <= ring.capacity`` (checked at trace time — with a
     ring shorter than the window the history clamp below would invert and
@@ -141,6 +146,12 @@ def make_classify_fn(
         # head or before the oldest retained frame)
         lo = jnp.maximum(ring.counter - cap, 0)
         hi = jnp.maximum(ring.counter - window, 0)
+        # stale: the window start was already overwritten — the clamp
+        # below would gather the wrong (newer) audio, so flag instead of
+        # silently classifying it.  Compared against the UNCLAMPED
+        # retention bound: an early-stream onset (start < 0, clamped to
+        # the ring head) has nothing overwritten and stays fresh.
+        fresh = valid & (start >= ring.counter - cap)
         start = jnp.clip(start, lo, hi)
         idx = jnp.mod(
             start[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :],
@@ -149,7 +160,7 @@ def make_classify_fn(
         wins = ring.data[idx]  # [K, W, C]
         wins = jnp.swapaxes(wins, 1, 2)  # [K, C, W]
         preds = model.apply(model_params, wins)
-        return jnp.where(valid[:, None], preds, 0.0)
+        return jnp.where(fresh[:, None], preds, 0.0), fresh
 
     return classify
 
@@ -335,6 +346,7 @@ class RealtimeEngine:
         metrics=None,
         model=None,
         model_input: str = "arrival",
+        event_queue: int = 64,
     ):
         self.cfg = cfg
         self.locator = locator
@@ -343,7 +355,7 @@ class RealtimeEngine:
         self.monitor_channels = monitor_channels
         self.state, self.params, self._step = make_engine_step(
             cfg, locator, ring_seconds, use_pallas=use_pallas, model=model,
-            model_input=model_input,
+            model_input=model_input, event_queue=event_queue,
         )
         self.host_ring = host_ring
         self.current_index = 0
@@ -354,6 +366,11 @@ class RealtimeEngine:
         self._harvested = 0  # events already drained from the device queue
         #: events overwritten in the device queue before a harvest saw them
         self.harvest_drops = 0
+        #: hits whose ring audio was overwritten before classify_hits ran
+        #: (predictions zeroed, never silently classified)
+        self.classify_stale = 0
+        #: bool mask from the last classify_hits call (True = fresh audio)
+        self.last_classify_fresh = np.zeros((0,), bool)
         # per-block enqueue stamps for the onset→host latency histogram:
         # slot (block_start // block_size) % N holds (block_start, monotonic
         # enqueue time); written on the audio thread (process_pipelined),
@@ -414,13 +431,22 @@ class RealtimeEngine:
         """Classify harvested hits ``[(onset, Location), ...]`` from the
         device ring.  Returns ``[len(events), out]`` predictions.  Call
         soon after :meth:`harvest` (the ring holds ``ring_seconds`` of
-        audio).  Runs off the audio thread."""
+        audio).  Runs off the audio thread.
+
+        Hits whose audio has already been overwritten in the ring (the
+        harvest→classify path stalled longer than ``ring_seconds``) are
+        NEVER silently classified from the wrong window: their rows are
+        zeroed, counted in :attr:`classify_stale`, flagged in
+        :attr:`last_classify_fresh` (bool mask aligned with ``events``),
+        and warned about — size the ring to the transport's stall
+        horizon."""
         if not hasattr(self, "_classify"):
             raise RuntimeError("attach_classifier() first")
         if not events:
+            self.last_classify_fresh = np.zeros((0,), bool)
             return np.zeros((0, 0), np.float32)
         cap = self._classify_capacity
-        out = []
+        out, fresh_out = [], []
         for base in range(0, len(events), cap):
             chunk = events[base : base + cap]
             onsets = np.zeros((cap,), np.int32)
@@ -428,12 +454,26 @@ class RealtimeEngine:
             for i, (onset, _) in enumerate(chunk):
                 onsets[i] = onset
                 valid[i] = True
-            preds = np.asarray(
-                self._classify(
-                    self.state.ring, jnp.asarray(onsets), jnp.asarray(valid)
-                )
+            preds, fresh = self._classify(
+                self.state.ring, jnp.asarray(onsets), jnp.asarray(valid)
             )
-            out.append(preds[: len(chunk)])
+            out.append(np.asarray(preds)[: len(chunk)])
+            fresh_out.append(np.asarray(fresh)[: len(chunk)])
+        fresh = np.concatenate(fresh_out, axis=0)
+        self.last_classify_fresh = fresh
+        n_stale = int((~fresh).sum())
+        if n_stale:
+            self.classify_stale += n_stale
+            if self.metrics is not None:
+                self.metrics.count("engine.classify.stale", float(n_stale))
+            warnings.warn(
+                f"classify_hits: {n_stale} hit(s) fell out of the audio "
+                f"ring before classification (predictions zeroed, counted "
+                f"in classify_stale) — raise ring_seconds to cover the "
+                "harvest→classify stall horizon",
+                UserWarning,
+                stacklevel=2,
+            )
         return np.concatenate(out, axis=0)
 
     # -- recording commands (reference analysis_action protocol,

@@ -753,6 +753,54 @@ class TestEngineClassifier:
             ref = audio[start : start + W].sum(axis=0)
             np.testing.assert_allclose(p, ref, rtol=1e-4, atol=1e-5)
 
+    def test_classify_stale_hits_flagged_not_silently_classified(self):
+        """A hit whose window audio was already overwritten in the ring
+        must get a zeroed prediction, a last_classify_fresh=False flag, a
+        classify_stale count and a warning — never a silent classification
+        of the wrong (newer) audio.  Early-stream onsets (onset < pre,
+        nothing overwritten yet) stay fresh."""
+        import warnings as _warnings
+
+        cfg, locator, eng = _make_engine(ring_seconds=0.25)
+
+        class Probe:
+            def apply(self, params, wins):
+                return wins.sum(axis=-1) + 1.0  # never zero for real audio
+
+        W, PRE = 256, 64
+        eng.attach_classifier(Probe(), None, window=W, pre=PRE, capacity=4)
+        rng = np.random.default_rng(3)
+        audio = rng.normal(0.1, 1e-2, (SR // 2, 3)).astype(np.float32)
+        eng.warmup(audio[:12800])
+        for i in range(12800 // 128, audio.shape[0] // 128):
+            eng.process_nosync(audio[i * 128 : (i + 1) * 128])
+        counter = int(eng.state.ring.counter)
+        cap = int(eng.state.ring.capacity)
+        stale_onset = counter - cap - 1000  # long overwritten
+        fresh_onset = counter - W  # still retained
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            preds = eng.classify_hits(
+                [(stale_onset, None), (fresh_onset, None)]
+            )
+        assert eng.last_classify_fresh.tolist() == [False, True]
+        assert eng.classify_stale == 1
+        assert np.all(preds[0] == 0.0)
+        assert np.all(preds[1] != 0.0)
+        assert any("stale" in str(w.message) for w in rec)
+
+        # early-stream onset: onset - pre < 0 but nothing overwritten —
+        # must be classified (clamped), NOT flagged stale
+        cfg2, locator2, eng2 = _make_engine(ring_seconds=0.25)
+        eng2.attach_classifier(Probe(), None, window=W, pre=PRE, capacity=4)
+        eng2.warmup(audio[:12800])
+        for i in range(100, 104):
+            eng2.process_nosync(audio[i * 128 : (i + 1) * 128])
+        preds2 = eng2.classify_hits([(0, None)])
+        assert eng2.last_classify_fresh.tolist() == [True]
+        assert eng2.classify_stale == 0
+        assert np.all(preds2[0] != 0.0)
+
     def test_classify_requires_attach(self):
         cfg, locator, eng = _make_engine()
         import pytest as _pytest
