@@ -137,13 +137,20 @@ def main():
     print(f"{args.trials} trials x {args.epochs} epochs in {el:.1f}s")
     note = (
         "predict-mean floor ~6.8 cm; sub-cm reachable on this fixture "
-        "(capability demo: 0.63 cm at 768 hits / 2000 epochs)"
+        "(capability demo, hit-level split: pair-CC 0.652 cm at 768 "
+        "hits / 2000 epochs; self-CC flagship 1.881 cm)"
         if args.fixture == "modal"
         else "negative control: no learnable waveform signal — expect the "
         "predict-mean floor (~5.5-6.7 cm)"
     )
     # selection on VAL; the test number reported belongs to the selected
     # trial (never min-over-trials of the test metric)
+    for t in study.results:
+        v = "-" if t.value is None else f"{t.value:.3f}"
+        tl = t.user_attrs.get("test_l1")
+        tl = "-" if tl is None else f"{tl:.3f}"
+        print(f"  trial {t.number}: {t.state:<9} val {v:>7} test {tl:>7} "
+              f"params {t.params}")
     test_l1 = study.best_trial.user_attrs.get("test_l1", float("nan"))
     print(f"best val L1: {study.best_value:.3f} cm ({note})")
     print(f"test L1 of the selected trial: {test_l1:.3f} cm")
