@@ -276,27 +276,76 @@ def main():
                   st_m.ev_emits)
     packed.block_until_ready()
     payload_bytes = packed.size * packed.dtype.itemsize
-    sync_samples = []
-    for _i in range(10):
-        t0 = time.monotonic()
-        pack(st_m.ev_count, st_m.ev_points, st_m.ev_onsets,
-             st_m.ev_emits).block_until_ready()
-        sync_samples.append(time.monotonic() - t0)
-    one_sync = float(np.median(sync_samples))
-    kq = 200
+    # scan N pack executions inside ONE dispatch (the step_ms methodology
+    # below): async-queueing k separate dispatches measures the host's
+    # tunnel enqueue rate, not device execution, whenever the tunnel is
+    # loaded (observed 0.08-0.50 ms run-to-run for this same sub-0.1 ms
+    # program).  Per-iteration onsets vary so the pack can't be hoisted.
+    npk = 200
+    on_seq = (st_m.ev_onsets[None, :]
+              + jnp.arange(npk, dtype=st_m.ev_onsets.dtype)[:, None])
+
+    @jax.jit
+    def pack_multi(count, points, on_seq, emits):
+        def f(acc, ons):
+            return acc + jnp.sum(_pack_events(count, points, ons, emits)),\
+                None
+        acc, _ = jax.lax.scan(f, jnp.zeros((), packed.dtype), on_seq)
+        return acc
+
+    int(pack_multi(st_m.ev_count, st_m.ev_points, on_seq, st_m.ev_emits))
     t0 = time.monotonic()
-    outs = [
-        pack(st_m.ev_count, st_m.ev_points, st_m.ev_onsets, st_m.ev_emits)
-        for _ in range(kq)
-    ]
-    outs[-1].block_until_ready()
+    int(pack_multi(st_m.ev_count, st_m.ev_points, on_seq, st_m.ev_emits))
     readback_ms = max(
-        ((time.monotonic() - t0) - one_sync) / kq * 1e3, 0.0
+        ((time.monotonic() - t0) * 1e3 - floor_ms) / npk, 0.0
     )
-    print(f"event-struct readback (measured, transport-free): "
-          f"{readback_ms:.3f} ms pack execution per harvest "
-          f"({kq} async dispatches, one sync) + {payload_bytes} B payload "
+    rb_str = (f"{readback_ms:.3f} ms"
+              if readback_ms >= 1e-3 else
+              "<0.001 ms (below the floor-subtraction resolution)")
+    print(f"event-struct readback (measured, transport-free, {npk} "
+          f"scanned packs in one dispatch): {rb_str} pack "
+          f"execution per harvest + {payload_bytes} B payload "
           f"(~us on a local link)", flush=True)
+
+    # classify execution, MEASURED the same way: the north star
+    # (BASELINE.md) prices localize + CLASSIFY.  The classify program
+    # (device-ring window gather + zone CNN) is a fixed-capacity batch —
+    # its execution cost is shape-fixed, so one measurement covers both
+    # the lone-hit worst case (whole cost on one hit) and the loaded
+    # amortized case (cost / capacity per hit).  Runs off the audio
+    # thread at harvest cadence.
+    cls_cap = engine._classify_capacity
+    cfn = engine._classify
+    cls_on = jnp.zeros((cls_cap,), jnp.int32)
+    cls_va = jnp.ones((cls_cap,), bool)
+    # scan N classify executions inside ONE dispatch (the step_ms
+    # methodology below) — async-queueing k separate dispatches measures
+    # the host's tunnel enqueue rate, not device execution, once the
+    # program is sub-ms (observed 0.1-0.6 ms run-to-run on the same
+    # program).  Per-iteration onsets vary so the gather can't be hoisted
+    # loop-invariant.
+    ncls = 100
+    ons_seq = (cls_on[None, :]
+               + jnp.arange(ncls, dtype=jnp.int32)[:, None] * 8)
+
+    @jax.jit
+    def cls_multi(ring, seq, va):
+        def f(acc, ons):
+            preds, _fresh = cfn(ring, ons, va)
+            return acc + jnp.sum(preds), None
+        acc, _ = jax.lax.scan(f, jnp.float32(0), seq)
+        return acc
+
+    float(cls_multi(engine.state.ring, ons_seq, cls_va))  # compile
+    t0 = time.monotonic()
+    float(cls_multi(engine.state.ring, ons_seq, cls_va))
+    classify_ms = max(
+        ((time.monotonic() - t0) * 1e3 - floor_ms) / ncls, 0.0
+    )
+    print(f"classify execution (measured, transport-free, {ncls} scanned "
+          f"batches in one dispatch): {classify_ms:.3f} ms per batch of "
+          f"<= {cls_cap} hits ({classify_ms / cls_cap:.3f} ms/hit "
+          f"amortized at capacity)", flush=True)
 
     K = 768  # ~1 s of blocks
     blocks = jnp.asarray(
@@ -509,12 +558,21 @@ def main():
     # — not the deployment target).
     if not args.cpu and not args.fast:
         est = step_ms + readback_ms
+        # the full BASELINE claim is localize + CLASSIFY; classify_ms is
+        # the whole fixed-shape batch program, so charging it entirely to
+        # ONE hit is the worst case (amortized: /capacity per hit)
+        est_cls = est + classify_ms
         print(f"north-star estimate (locally-attached): "
               f"{est:.3f} ms per-hit localize "
-              f"({step_ms:.3f} step + {readback_ms:.3f} measured readback)")
-        if est >= 1.0:
-            print(f"FAIL: locally-attached per-hit estimate {est:.3f} ms "
-                  f">= 1 ms (device per-block cost {step_ms:.3f} ms)")
+              f"({step_ms:.3f} step + {readback_ms:.3f} measured "
+              f"readback); + classify = {est_cls:.3f} ms worst-case "
+              f"lone hit ({est + classify_ms / cls_cap:.3f} ms/hit at "
+              f"batch capacity)")
+        if est_cls >= 1.0:
+            print(f"FAIL: locally-attached per-hit localize+classify "
+                  f"{est_cls:.3f} ms >= 1 ms (device per-block cost "
+                  f"{step_ms:.3f} ms, classify batch {classify_ms:.3f} "
+                  f"ms)")
             ok = False
 
     # -- localization + classification acceptance ---------------------------
